@@ -75,3 +75,44 @@ c2w_away[:3, :3] = np.diag([1, -1, -1])
 s0, c0 = lift_view(feats, np.asarray(occ), c2w_away, intr, o2, vs, num_ids, depth_max=4.0)
 print("probe camera-away -> hits:", int(np.asarray(c0).sum()))
 print("ALL OK")
+
+# ── rasterizer / renderer drive (added with the rasterizer milestone) ──────────
+import dataclasses
+from segsplat_tpu.core.types import Camera, GaussianTable
+from segsplat_tpu.render import render, render_semantics
+
+cap = 4096
+t = GaussianTable.empty(cap, max_sh_degree=3)
+ng = 2000
+gx = np.column_stack([rng.uniform(-0.6, 0.6, ng), rng.uniform(-0.6, 0.6, ng),
+                      rng.uniform(1.0, 2.5, ng)]).astype(np.float32)
+fdc = np.zeros((cap, 1, 3), np.float32); fdc[:ng] = rng.normal(size=(ng, 1, 3))
+obj = np.zeros((cap, 1, 16), np.float32); obj[:ng] = rng.normal(size=(ng, 1, 16))
+act = np.zeros(cap, bool); act[:ng] = True
+xyz = np.zeros((cap, 3), np.float32); xyz[:ng] = gx
+t = dataclasses.replace(t, xyz=jnp.asarray(xyz), features_dc=jnp.asarray(fdc),
+                        scaling=jnp.full((cap, 3), np.log(0.02), jnp.float32),
+                        opacity=jnp.full((cap, 1), 1.0, jnp.float32),
+                        objects_dc=jnp.asarray(obj), active=jnp.asarray(act))
+cam = Camera(R=jnp.eye(3), T=jnp.zeros(3), fov_x=jnp.array(1.2), fov_y=jnp.array(1.0),
+             width=320, height=240)
+t0 = time.time()
+out = render(t, cam, jnp.zeros(3))
+out["render"].block_until_ready()
+print("render: rgb", out["render"].shape, "objects", out["render_object"].shape,
+      "visible", int(out["visibility_filter"].sum()), "(%.1fs incl compile)" % (time.time() - t0))
+assert float(jnp.abs(out["render"]).sum()) > 0
+logits = jnp.asarray(rng.normal(size=(cap, 20)).astype(np.float32))
+t0 = time.time()
+sem = render_semantics(t, cam, logits)
+sem.block_until_ready()
+print("semantics:", sem.shape, "argmax classes:",
+      np.unique(np.asarray(jnp.argmax(sem[:20], 0))).size, "(%.1fs incl compile)" % (time.time() - t0))
+# probe: camera inside the splat cloud pointing backwards still renders (bg only)
+cam_back = Camera(R=jnp.asarray(np.diag([1.0, -1.0, -1.0]).astype(np.float32)),
+                  T=jnp.zeros(3), fov_x=jnp.array(1.2), fov_y=jnp.array(1.0),
+                  width=320, height=240)
+ob = render(t, cam_back, jnp.ones(3))
+print("probe backwards-camera: visible =", int(ob["visibility_filter"].sum()),
+      "mean rgb =", float(ob["render"].mean()))
+print("RENDER OK")

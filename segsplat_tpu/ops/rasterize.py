@@ -1,0 +1,281 @@
+"""Differentiable N-channel tile rasterizer for 3D Gaussians — TPU-native.
+
+Replaces both native rasterizers of the reference (SURVEY §2.1):
+  * diff-gaussian-rasterization (Gaussian-Grouping fork): RGB + 16-channel identity
+    pass + 32-channel semantic-logit pass, with screenspace-mean gradients for
+    densification (call sites gaussian_renderer/__init__.py:85-120,
+    train_unified_lift.py:462-470),
+  * gsplat.rasterization for inference-time semantic rendering
+    (voxel_to_gaussian/render_semantics_logits.py:92-105).
+
+Design (TPU-first, not a CUDA translation):
+  1. project: EWA splatting math — camera-space means, 2D covariance
+     J W Σ Wᵀ Jᵀ + 0.3·I, conic, 3σ radius. One fused vectorized pass (VPU).
+  2. bin: Gaussians are *pre-sorted by depth*, then each emits up to
+     max_tiles_per_axis² (tile, gaussian) pairs over its screen AABB; one stable
+     sort by tile id then preserves front-to-back order inside every tile.
+     CUDA builds per-tile lists with atomics + a 64-bit radix sort over
+     (tile | depth) keys; the stable single-key formulation halves the sort width
+     and is deterministic.
+  3. blend: per tile, gather a fixed-capacity window of K Gaussians and
+     alpha-composite all 16×16 pixels against them with a cumulative-product
+     transmittance — dense regular compute (VPU/MXU-friendly), instead of CUDA's
+     divergent per-pixel early-exit loop. Saturated transmittance makes the tail
+     contribute ~0, so fixed K reproduces early termination numerically.
+  4. grad: plain JAX autodiff through the blend (jax.checkpoint keeps memory at
+     one tile-chunk); the binning structure is discrete and carries no gradient,
+     matching the CUDA backward's treatment.
+
+Capacity knobs (static): ``max_tiles_per_axis`` clips the binned AABB of very
+large splats; ``max_per_tile`` caps per-tile blending depth. Both trade a bounded
+approximation for static shapes; defaults are sized so typical scenes are exact.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from segsplat_tpu.core.transforms import quat_to_rotmat
+
+TILE = 16
+
+
+class Projected(NamedTuple):
+    means2d: jax.Array   # [N, 2] pixel coords
+    depths: jax.Array    # [N]
+    conics: jax.Array    # [N, 3] (a, b, c) of inverse 2D covariance
+    radii: jax.Array     # [N] float, 3σ screen radius (0 = culled)
+    valid: jax.Array     # [N] bool
+
+
+def project_gaussians(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
+                      viewmat: jax.Array, fx, fy, cx, cy,
+                      width: int, height: int,
+                      znear: float = 0.2, eps2d: float = 0.3,
+                      tan_fovx: Optional[jax.Array] = None,
+                      tan_fovy: Optional[jax.Array] = None) -> Projected:
+    """EWA projection of 3D Gaussians to screen space.
+
+    Math follows the public 3DGS formulation (Zwicker et al. EWA splatting):
+    cov2d = J W Σ Wᵀ Jᵀ with the frustum-clamped Jacobian, plus the 0.3-pixel
+    low-pass the reference rasterizer applies.
+    """
+    R_w2c = viewmat[:3, :3]
+    t_cam = means3d @ R_w2c.T + viewmat[:3, 3]
+    z = t_cam[:, 2]
+    valid = z > znear
+
+    if tan_fovx is None:
+        tan_fovx = (0.5 * width) / fx
+    if tan_fovy is None:
+        tan_fovy = (0.5 * height) / fy
+
+    zc = jnp.maximum(z, znear)
+    # frustum-clamped camera xy for the Jacobian
+    lim_x = 1.3 * tan_fovx
+    lim_y = 1.3 * tan_fovy
+    tx = jnp.clip(t_cam[:, 0] / zc, -lim_x, lim_x) * zc
+    ty = jnp.clip(t_cam[:, 1] / zc, -lim_y, lim_y) * zc
+
+    # 3D covariance in camera frame
+    Rg = quat_to_rotmat(quats)                    # [N,3,3]
+    M = Rg * scales[:, None, :]                   # R diag(s)
+    cov3d = M @ jnp.swapaxes(M, 1, 2)             # [N,3,3]
+    cov_cam = jnp.einsum("ij,njk,lk->nil", R_w2c, cov3d, R_w2c)
+
+    inv_z = 1.0 / zc
+    inv_z2 = inv_z * inv_z
+    # J rows: [fx/z, 0, -fx·x/z²], [0, fy/z, -fy·y/z²]
+    j00 = fx * inv_z
+    j02 = -fx * tx * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * ty * inv_z2
+
+    c00, c01, c02 = cov_cam[:, 0, 0], cov_cam[:, 0, 1], cov_cam[:, 0, 2]
+    c11, c12, c22 = cov_cam[:, 1, 1], cov_cam[:, 1, 2], cov_cam[:, 2, 2]
+    # cov2d = J Σc Jᵀ expanded
+    a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22) + eps2d
+    b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
+    c = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22) + eps2d
+
+    det = a * c - b * b
+    valid = valid & (det > 1e-12)
+    det = jnp.where(det > 1e-12, det, 1.0)
+    inv_det = 1.0 / det
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=1)
+
+    mid = 0.5 * (a + c)
+    lam1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
+
+    u = fx * t_cam[:, 0] * inv_z + cx
+    v = fy * t_cam[:, 1] * inv_z + cy
+    means2d = jnp.stack([u, v], axis=1)
+
+    on_screen = ((u + radius > 0) & (u - radius < width) &
+                 (v + radius > 0) & (v - radius < height))
+    valid = valid & on_screen
+    radius = jnp.where(valid, radius, 0.0)
+    return Projected(means2d, z, conic, radius, valid)
+
+
+def _bin_gaussians(proj: Projected, width: int, height: int,
+                   max_tiles_per_axis: int):
+    """Depth-sort then emit (tile, gaussian) pairs over each Gaussian's tile AABB.
+
+    Returns (sorted_tile [N·M²] int32, sorted_gid [N·M²] int32, tile_offsets [T+1]).
+    """
+    tx_n = -(-width // TILE)
+    ty_n = -(-height // TILE)
+    num_tiles = tx_n * ty_n
+    n = proj.means2d.shape[0]
+    m = max_tiles_per_axis
+
+    depth_key = jnp.where(proj.valid, proj.depths, jnp.inf)
+    order = jnp.argsort(depth_key)                                 # front-to-back
+    means2d = proj.means2d[order]
+    radii = proj.radii[order]
+    valid = proj.valid[order]
+
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - radii) / TILE), 0, tx_n - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - radii) / TILE), 0, ty_n - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + radii) / TILE), 0, tx_n - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + radii) / TILE), 0, ty_n - 1).astype(jnp.int32)
+
+    di = jnp.arange(m, dtype=jnp.int32)
+    txs = x0[:, None, None] + di[None, :, None]                    # [N, m, 1]
+    tys = y0[:, None, None] + di[None, None, :]                    # [N, 1, m]
+    in_rect = ((txs <= x1[:, None, None]) & (tys <= y1[:, None, None])
+               & valid[:, None, None])
+    tile_id = jnp.where(in_rect, tys * tx_n + txs, num_tiles)      # sentinel = T
+    tile_id = tile_id.reshape(n * m * m)
+    gid = jnp.broadcast_to(order[:, None, None], (n, m, m)).reshape(n * m * m)
+
+    # stable sort by tile keeps front-to-back depth order within each tile
+    sorted_tile, sorted_gid = jax.lax.sort(
+        (tile_id, gid), dimension=0, is_stable=True, num_keys=1)
+    offsets = jnp.searchsorted(sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32))
+    return sorted_tile, sorted_gid, offsets, (tx_n, ty_n)
+
+
+def _blend_tiles(sorted_gid, offsets, proj: Projected, colors, opacities,
+                 bg, tx_n: int, ty_n: int, max_per_tile: int,
+                 tile_chunk: int = 64):
+    """Alpha-composite every tile against its (up to) K nearest-by-depth Gaussians.
+
+    Returns (image [H', W', CH], alpha [H', W', 1]) where H' = ty_n·TILE.
+    """
+    K = max_per_tile
+    CH = colors.shape[1]
+    num_tiles = tx_n * ty_n
+
+    counts = jnp.minimum(offsets[1:] - offsets[:-1], K)            # [T]
+
+    # per-pixel offsets inside a tile (pixel centers at +0.5, gsplat convention)
+    py, px = jnp.meshgrid(jnp.arange(TILE, dtype=jnp.float32) + 0.5,
+                          jnp.arange(TILE, dtype=jnp.float32) + 0.5, indexing="ij")
+    pix = jnp.stack([px.ravel(), py.ravel()], axis=1)              # [256, 2]
+
+    def blend_chunk(tile_ids):                                     # [C] tile indices
+        start = offsets[tile_ids]                                  # [C]
+        cnt = counts[tile_ids]
+        slot = jnp.arange(K, dtype=jnp.int32)
+        gidx = sorted_gid[jnp.clip(start[:, None] + slot[None, :], 0,
+                                   sorted_gid.shape[0] - 1)]       # [C, K]
+        live = slot[None, :] < cnt[:, None]                        # [C, K]
+
+        mu = proj.means2d[gidx]                                    # [C, K, 2]
+        con = proj.conics[gidx]                                    # [C, K, 3]
+        op = opacities[gidx]                                       # [C, K]
+        col = colors[gidx]                                         # [C, K, CH]
+
+        tx = (tile_ids % tx_n).astype(jnp.float32) * TILE
+        ty = (tile_ids // tx_n).astype(jnp.float32) * TILE
+        pxy = pix[None, :, :] + jnp.stack([tx, ty], axis=1)[:, None, :]  # [C,256,2]
+
+        d = mu[:, :, None, :] - pxy[:, None, :, :]                 # [C, K, 256, 2]
+        sigma = (0.5 * (con[:, :, 0, None] * d[..., 0] ** 2
+                        + con[:, :, 2, None] * d[..., 1] ** 2)
+                 + con[:, :, 1, None] * d[..., 0] * d[..., 1])     # [C, K, 256]
+        alpha = jnp.minimum(0.999, op[:, :, None] * jnp.exp(-sigma))
+        alpha = jnp.where((sigma >= 0) & live[:, :, None] & (alpha >= 1.0 / 255.0),
+                          alpha, 0.0)
+
+        one_minus = 1.0 - alpha
+        trans = jnp.cumprod(one_minus, axis=1)                     # T after i
+        trans_before = jnp.concatenate(
+            [jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=1)  # T before i
+        w = alpha * trans_before                                   # [C, K, 256]
+        img = jnp.einsum("ckp,ckh->cph", w, col)                   # [C, 256, CH]
+        t_final = trans[:, -1, :]                                  # [C, 256]
+        img = img + t_final[..., None] * bg[None, None, :]
+        return img, 1.0 - t_final
+
+    blend_chunk = jax.checkpoint(blend_chunk)
+
+    pad_tiles = (-num_tiles) % tile_chunk
+    all_tiles = jnp.arange(num_tiles + pad_tiles, dtype=jnp.int32) % num_tiles
+    chunks = all_tiles.reshape(-1, tile_chunk)
+    img, alpha = jax.lax.map(blend_chunk, chunks)
+    img = img.reshape(num_tiles + pad_tiles, TILE, TILE, CH)[:num_tiles]
+    alpha = alpha.reshape(num_tiles + pad_tiles, TILE, TILE)[:num_tiles]
+    img = img.reshape(ty_n, tx_n, TILE, TILE, CH).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(ty_n * TILE, tx_n * TILE, CH)
+    alpha = alpha.reshape(ty_n, tx_n, TILE, TILE).transpose(0, 2, 1, 3)
+    alpha = alpha.reshape(ty_n * TILE, tx_n * TILE)
+    return img, alpha
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_tiles_per_axis",
+                                   "max_per_tile", "tile_chunk"))
+def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
+              opacities: jax.Array, colors: jax.Array,
+              viewmat: jax.Array, fx, fy, cx, cy,
+              width: int, height: int,
+              bg: Optional[jax.Array] = None,
+              means2d_offset: Optional[jax.Array] = None,
+              max_tiles_per_axis: int = 8, max_per_tile: int = 512,
+              tile_chunk: int = 64):
+    """Full differentiable forward: project → bin → blend.
+
+    colors: [N, CH] per-Gaussian channel payload (RGB / identity / logits —
+    channel-generic like the reference's templated NUM_CHANNELS rasterizers).
+    means2d_offset: [N, 2] zeros; its gradient is the screenspace-mean gradient the
+    densification heuristic consumes (the reference's ``screenspace_points`` trick,
+    gaussian_renderer/__init__.py:26-30).
+
+    Returns dict: image [H,W,CH], alpha [H,W], radii [N], visible [N] bool,
+    depths [N].
+    """
+    CH = colors.shape[1]
+    if bg is None:
+        bg = jnp.zeros((CH,), colors.dtype)
+    proj = project_gaussians(means3d, scales, quats, viewmat, fx, fy, cx, cy,
+                             width, height)
+    if means2d_offset is not None:
+        proj = proj._replace(means2d=proj.means2d + means2d_offset)
+    sorted_tile, sorted_gid, offsets, (tx_n, ty_n) = _bin_gaussians(
+        proj, width, height, max_tiles_per_axis)
+    img, alpha = _blend_tiles(sorted_gid, offsets, proj, colors, opacities, bg,
+                              tx_n, ty_n, max_per_tile, tile_chunk)
+    return {
+        "image": img[:height, :width],
+        "alpha": alpha[:height, :width],
+        "radii": proj.radii,
+        "visible": proj.valid,
+        "depths": proj.depths,
+    }
+
+
+def pad_logits_to_channels(logits: jax.Array, num_channels: int = 32) -> jax.Array:
+    """Pad/slice per-Gaussian logits to the fixed raster channel count — the
+    reference's NUM_CHANNELS=32 contract (render_semantics_logits.py:49-57)."""
+    n, c = logits.shape
+    if c < num_channels:
+        return jnp.pad(logits, ((0, 0), (0, num_channels - c)))
+    return logits[:, :num_channels]

@@ -1,0 +1,112 @@
+"""High-level rendering front-end — the reference's gaussian_renderer/__init__.py:18-120
+equivalent, functional and jit-friendly.
+
+The reference dispatches between two compiled rasterizers (plain: RGB + 16-ch identity;
+semantic: + 32-ch logits). Our tile rasterizer is channel-generic, so RGB, identity
+features, and semantic logits are *one* payload rendered in a single pass — one
+projection, one binning, one blend for all 19/51 channels (better arithmetic intensity,
+one HBM sweep).
+
+Returned dict matches the reference contract: ``render`` [3,H,W], ``render_object``
+[16,H,W], optional ``semantic_logits`` [32,H,W], ``radii``, ``visibility_filter``,
+plus ``alpha`` and ``depths`` extras.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from segsplat_tpu.core.sh import eval_sh, num_sh_coeffs
+from segsplat_tpu.core.types import Camera, GaussianTable, NUM_SEMANTIC_CHANNELS
+from segsplat_tpu.ops.rasterize import pad_logits_to_channels, rasterize
+
+
+def sh_colors(table: GaussianTable, campos: jax.Array) -> jax.Array:
+    """View-dependent RGB from SH, masking coefficient groups above the table's
+    *runtime* active_sh_degree (the reference re-traces per degree; we keep one
+    compiled program by zero-masking bands instead)."""
+    sh = table.get_features()                       # [N, K, 3]
+    k = sh.shape[1]
+    # band index of each coefficient: degree d occupies coeffs [d², (d+1)²)
+    coeff_ids = jnp.arange(k)
+    band = jnp.floor(jnp.sqrt(coeff_ids.astype(jnp.float32))).astype(jnp.int32)
+    mask = (band <= table.active_sh_degree).astype(sh.dtype)
+    sh = sh * mask[None, :, None]
+    dirs = table.xyz - campos
+    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+    return jnp.maximum(eval_sh(table.max_sh_degree, sh, dirs) + 0.5, 0.0)
+
+
+def render(table: GaussianTable, camera: Camera,
+           bg_color: jax.Array,
+           semantic_logits: Optional[jax.Array] = None,
+           means2d_offset: Optional[jax.Array] = None,
+           scaling_modifier: float = 1.0,
+           override_color: Optional[jax.Array] = None,
+           max_tiles_per_axis: int = 8, max_per_tile: int = 512,
+           tile_chunk: int = 64) -> dict:
+    """Render RGB + identity (+ semantics) in one rasterizer pass.
+
+    bg_color: [3] like the reference (identity/semantic channels composite on 0,
+    matching the semantic path's explicit 32-zero background,
+    render_semantics_logits.py:250-252).
+    """
+    campos = camera.camera_center()
+    viewmat = camera.world_view_transform()
+    K = camera.intrinsics()
+
+    rgb = sh_colors(table, campos) if override_color is None else override_color
+    identity = table.objects_dc[:, 0, :]                      # [N, 16]
+    payload = [rgb, identity]
+    bg = [bg_color, jnp.zeros((identity.shape[1],), rgb.dtype)]
+    if semantic_logits is not None:
+        logits32 = pad_logits_to_channels(semantic_logits, NUM_SEMANTIC_CHANNELS)
+        payload.append(logits32)
+        bg.append(jnp.zeros((NUM_SEMANTIC_CHANNELS,), rgb.dtype))
+    colors = jnp.concatenate(payload, axis=1)
+    bg_full = jnp.concatenate(bg)
+
+    opac = table.get_opacity()[:, 0] * table.active.astype(rgb.dtype)
+    out = rasterize(table.xyz, scaling_modifier * table.get_scaling(),
+                    table.get_rotation(), opac, colors,
+                    viewmat, K[0, 0], K[1, 1], K[0, 2], K[1, 2],
+                    camera.width, camera.height, bg=bg_full,
+                    means2d_offset=means2d_offset,
+                    max_tiles_per_axis=max_tiles_per_axis,
+                    max_per_tile=max_per_tile, tile_chunk=tile_chunk)
+
+    img = out["image"]
+    result = {
+        "render": jnp.transpose(img[..., 0:3], (2, 0, 1)),
+        "render_object": jnp.transpose(img[..., 3:19], (2, 0, 1)),
+        "radii": out["radii"],
+        "visibility_filter": out["radii"] > 0,
+        "alpha": out["alpha"],
+        "depths": out["depths"],
+    }
+    if semantic_logits is not None:
+        result["semantic_logits"] = jnp.transpose(img[..., 19:19 + NUM_SEMANTIC_CHANNELS],
+                                                  (2, 0, 1))
+    return result
+
+
+def render_semantics(table: GaussianTable, camera: Camera, logits: jax.Array,
+                     bg_value: float = 0.0,
+                     max_tiles_per_axis: int = 8, max_per_tile: int = 512,
+                     tile_chunk: int = 64) -> jax.Array:
+    """Semantics-only fast path: the gsplat call in the reference's FPS-metric loop
+    (render_semantics_logits.py:92-105). Returns [32, H, W]."""
+    viewmat = camera.world_view_transform()
+    K = camera.intrinsics()
+    payload = pad_logits_to_channels(logits, NUM_SEMANTIC_CHANNELS)
+    opac = table.get_opacity()[:, 0] * table.active.astype(payload.dtype)
+    out = rasterize(table.xyz, table.get_scaling(), table.get_rotation(), opac,
+                    payload, viewmat, K[0, 0], K[1, 1], K[0, 2], K[1, 2],
+                    camera.width, camera.height,
+                    bg=jnp.full((NUM_SEMANTIC_CHANNELS,), bg_value, payload.dtype),
+                    max_tiles_per_axis=max_tiles_per_axis,
+                    max_per_tile=max_per_tile, tile_chunk=tile_chunk)
+    return jnp.transpose(out["image"], (2, 0, 1))

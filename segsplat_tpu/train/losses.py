@@ -1,0 +1,245 @@
+"""Unified-Lift training losses, JAX-native.
+
+Reimplements the reference's loss stack (train_unified_lift.py + utils/loss_utils.py)
+under XLA's static-shape rules:
+
+  * photometric: L1 + windowed SSIM (σ=1.5, window 11; utils/loss_utils.py:32-72),
+  * ProtoNCE contrastive loss over 16-D identity features with per-cluster
+    temperature φ (train_unified_lift.py:144-222),
+  * confidence map: per-pixel cluster-assignment probability, binarized at 0.2
+    (:64-142),
+  * virtual-GT relabeling by Hungarian assignment of codebook logits to mask ids
+    (:247-264 — 256×256 at most, solved on host via pure_callback like the
+    reference's scipy round-trip, but batched/jit-safe),
+  * confidence-gated cross-entropy and codebook clustering losses (:380-396),
+  * kNN-KL 3-D regularizer loss_cls_3d (utils/loss_utils.py:75-115).
+
+The reference loops over the *dynamic* set of mask ids present in a view; here every
+cluster statistic is a fixed-width (NUM_CLUSTERS=256) segment reduction with validity
+masks — one deterministic compiled program for every view.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NUM_CLUSTERS = 256
+
+
+# ───────────────────────────── photometric ─────────────────────────────
+
+def l1_loss(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    return jnp.abs(pred - gt).mean()
+
+
+def l2_loss(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    return ((pred - gt) ** 2).mean()
+
+
+def masked_l1_loss(pred, gt, mask):
+    mask = jnp.broadcast_to(mask[None].astype(pred.dtype), gt.shape)
+    return (jnp.abs(pred - gt) * mask).sum() / (mask.sum() + 1e-12)
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - size // 2
+    g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
+    return jnp.outer(g, g)
+
+
+def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
+         sigma: float = 1.5) -> jax.Array:
+    """[C,H,W] images, windowed SSIM with per-channel (depthwise) blur —
+    constants C1=0.01², C2=0.03² as in the reference."""
+    C = img1.shape[0]
+    w = _gaussian_window(window_size, sigma)
+    kernel = jnp.broadcast_to(w[None, None], (C, 1, window_size, window_size))
+
+    def blur(x):
+        return jax.lax.conv_general_dilated(
+            x[None], kernel, window_strides=(1, 1),
+            padding=[(window_size // 2,) * 2] * 2,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=C)[0]
+
+    mu1, mu2 = blur(img1), blur(img2)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = blur(img1 * img1) - mu1_sq
+    s2 = blur(img2 * img2) - mu2_sq
+    s12 = blur(img1 * img2) - mu12
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    m = ((2 * mu12 + C1) * (2 * s12 + C2)) / ((mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
+    return m.mean()
+
+
+def psnr(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    mse = ((pred - gt) ** 2).mean()
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse + 1e-12))
+
+
+# ───────────────────────── identity-feature losses ─────────────────────────
+
+def _cluster_stats(feat_n: jax.Array, labels: jax.Array,
+                   phi_mult: float, phi_min: float, phi_max: float):
+    """Per-cluster mean direction and temperature φ over NUM_CLUSTERS segments.
+
+    feat_n: [S, D] normalized features, labels: [S] int in [0, NUM_CLUSTERS).
+    Returns (u [K,D], phi [K], counts [K]).
+    """
+    counts = jax.ops.segment_sum(jnp.ones_like(labels, jnp.float32), labels,
+                                 num_segments=NUM_CLUSTERS)
+    sums = jax.ops.segment_sum(feat_n, labels, num_segments=NUM_CLUSTERS)
+    u = sums / jnp.maximum(counts, 1.0)[:, None]
+    # φ_k = Σ‖f−u‖ / (n_k · log(n_k+10))   (train_unified_lift.py:197)
+    dist_to_u = jnp.linalg.norm(feat_n - u[labels], axis=-1)
+    phi_num = jax.ops.segment_sum(dist_to_u, labels, num_segments=NUM_CLUSTERS)
+    phi = phi_num / jnp.maximum(counts * jnp.log(counts + 10.0), 1e-6)
+    phi = jnp.clip(phi * phi_mult, phi_min, phi_max)
+    return u, jax.lax.stop_gradient(phi), counts
+
+
+def contrastive_loss(features: jax.Array, gt_obj: jax.Array, rng: jax.Array,
+                     batch_size: int = 32768, min_pixnum: int = 20
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """(ProtoNCE, norm regularization) over rendered identity features.
+
+    features: [D, H, W] (D=16), gt_obj: [H, W] int mask ids.
+    Mirrors get_contrastive_loss (train_unified_lift.py:144-222): sample 32768
+    pixels, cluster by mask id, φ·10 clipped to [0.5, 1].
+    """
+    D = features.shape[0]
+    feat = features.reshape(D, -1).T                      # [P, D]
+    reg = ((jnp.linalg.norm(feat, axis=-1, keepdims=True) - 1.0) ** 2).mean()
+
+    P = feat.shape[0]
+    idx = jax.random.randint(rng, (batch_size,), 0, P)
+    f = feat[idx]
+    lab = jnp.clip(gt_obj.reshape(-1)[idx], 0, NUM_CLUSTERS - 1)
+    f = f / jax.lax.stop_gradient(
+        jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-6)
+
+    u, phi, counts = _cluster_stats(f, lab, 10.0, 0.5, 1.0)
+    valid = counts > min_pixnum                            # [K]
+
+    logits = (f @ u.T) / phi[None, :]                      # [S, K]
+    e = jnp.where(valid[None, :], jnp.exp(logits), 0.0)
+    own = jnp.take_along_axis(e, lab[:, None], axis=1)[:, 0]
+    denom = e.sum(axis=1) + 1e-6
+    samp_valid = valid[lab]
+    per_sample = -jnp.log(jnp.maximum(own / denom, 1e-20)) * samp_valid
+    cnum = jnp.maximum(valid.sum(), 1)
+    return per_sample.sum() / cnum, reg
+
+
+def confidence_map(features: jax.Array, gt_obj: jax.Array,
+                   threshold: float = 0.2) -> jax.Array:
+    """[H, W] binary confidence (get_confience_map, train_unified_lift.py:64-142):
+    per-pixel probability of its own cluster under φ·0.1∈[0.1,1], binarized."""
+    D, H, W = features.shape
+    feat = features.reshape(D, -1).T
+    lab = jnp.clip(gt_obj.reshape(-1), 0, NUM_CLUSTERS - 1)
+    f = feat / jax.lax.stop_gradient(
+        jnp.linalg.norm(feat, axis=-1, keepdims=True) + 1e-6)
+    u, phi, counts = _cluster_stats(f, lab, 0.1, 0.1, 1.0)
+    valid = counts > 0
+    logits = (f @ u.T) / phi[None, :]
+    e = jnp.where(valid[None, :], jnp.exp(logits), 0.0)
+    own = jnp.take_along_axis(e, lab[:, None], axis=1)[:, 0]
+    conf = own / (e.sum(axis=1) + 1e-6)
+    return (conf > threshold).astype(jnp.float32).reshape(H, W)
+
+
+# ───────────────────────── virtual GT via Hungarian ─────────────────────────
+
+def _hungarian_host(cost: np.ndarray) -> np.ndarray:
+    from scipy.optimize import linear_sum_assignment
+    rows, cols = linear_sum_assignment(np.nan_to_num(cost))
+    out = np.full(cost.shape[0], -1, np.int32)
+    out[rows] = cols.astype(np.int32)
+    return out
+
+
+def virtual_gt_labels(gt_obj: jax.Array, logits: jax.Array) -> jax.Array:
+    """Hungarian-matched relabeling (create_virtual_gt_with_linear_assignment,
+    train_unified_lift.py:247-264).
+
+    gt_obj: [H, W] int mask ids; logits: [K, H, W] codebook scores.
+    Builds a [K, K] cost from per-mask-id mean softmax scores (rows for absent ids
+    neutral), solves the ≤256×256 assignment on host (pure_callback — the exact
+    structure the reference round-trips to scipy per iteration), returns [H, W].
+    """
+    K = logits.shape[0]
+    lab = jnp.clip(gt_obj.reshape(-1), 0, NUM_CLUSTERS - 1)
+    probs = jax.nn.softmax(logits.reshape(K, -1).T, axis=-1)    # [P, K]
+    counts = jax.ops.segment_sum(jnp.ones_like(lab, jnp.float32), lab,
+                                 num_segments=NUM_CLUSTERS)
+    sums = jax.ops.segment_sum(probs, lab, num_segments=NUM_CLUSTERS)  # [K, K]
+    present = counts > 0
+    # cost −Σp for present ids; absent rows get 0 cost everywhere (assignment
+    # then routes them arbitrarily without affecting present rows' optimum)
+    cost = jnp.where(present[:, None], -sums, 0.0)
+    assign = jax.pure_callback(
+        _hungarian_host,
+        jax.ShapeDtypeStruct((NUM_CLUSTERS,), np.int32),
+        cost, vmap_method="sequential")
+    new_lab = assign[lab]
+    return new_lab.reshape(gt_obj.shape)
+
+
+def gated_classification_loss(logits: jax.Array, vgt: jax.Array,
+                              confidence: jax.Array, num_classes: int) -> jax.Array:
+    """Confidence-gated CE against the virtual GT, normalized by log(num_classes)
+    (train_unified_lift.py:383-387). Zero when predictions already match VGT
+    everywhere or no confident pixels exist."""
+    K = logits.shape[0]
+    flat_logits = logits.reshape(K, -1).T
+    flat_vgt = vgt.reshape(-1)
+    flat_conf = confidence.reshape(-1)
+    ce = -jnp.take_along_axis(jax.nn.log_softmax(flat_logits, axis=-1),
+                              flat_vgt[:, None], axis=1)[:, 0]
+    conf_sum = flat_conf.sum()
+    loss = (ce * flat_conf).sum() / jnp.maximum(conf_sum, 1.0)
+    pred = jnp.argmax(flat_logits, axis=-1)
+    any_mismatch = jnp.any(pred != flat_vgt)
+    gate = (conf_sum > 0) & any_mismatch
+    return jnp.where(gate, loss, 0.0) / jnp.log(num_classes)
+
+
+def clustering_loss(objects: jax.Array, vgt: jax.Array, code_book: jax.Array,
+                    confidence: jax.Array) -> jax.Array:
+    """Pull normalized (detached) identity features toward their assigned codebook
+    row on confident pixels (clustering_for_matching, train_unified_lift.py:266-282)."""
+    D = objects.shape[0]
+    obj = jax.lax.stop_gradient(objects.reshape(D, -1).T)
+    obj = obj / (jnp.linalg.norm(obj, axis=-1, keepdims=True) + 1e-6)
+    cb = code_book[vgt.reshape(-1)]
+    conf = confidence.reshape(-1)
+    d = jnp.linalg.norm(obj - cb, axis=-1)
+    return jnp.where(conf.sum() > 0, (d * conf).sum() / jnp.maximum(conf.sum(), 1.0), 0.0)
+
+
+def loss_cls_3d(features: jax.Array, predictions: jax.Array, rng: jax.Array,
+                k: int = 5, lambda_val: float = 2.0,
+                max_points: int = 300000, sample_size: int = 1000) -> jax.Array:
+    """kNN-KL spatial consistency over Gaussian class probabilities
+    (utils/loss_utils.py:75-115), with fixed-size sampling."""
+    n = features.shape[0]
+    r1, r2 = jax.random.split(rng)
+    if n > max_points:
+        keep = jax.random.choice(r1, n, (max_points,), replace=False)
+        features, predictions = features[keep], predictions[keep]
+        n = max_points
+    idx = jax.random.choice(r2, n, (sample_size,), replace=False)
+    sf, sp = features[idx], predictions[idx]
+    d = jnp.sum(sf ** 2, 1)[:, None] - 2 * sf @ features.T + jnp.sum(features ** 2, 1)[None]
+    _, nbr = jax.lax.top_k(-d, k)
+    nbr_p = predictions[nbr]                                   # [S, k, C]
+    kl = sp[:, None] * (jnp.log(sp[:, None] + 1e-10) - jnp.log(nbr_p + 1e-10))
+    loss = kl.sum(-1).mean() / predictions.shape[1]
+    return lambda_val * loss

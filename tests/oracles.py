@@ -75,3 +75,36 @@ def make_test_scene(rng, num_voxels=40, grid_dim=8, voxel_size=0.1):
     f = 30.0
     intr = np.array([f, f, width / 2, height / 2], np.float32)
     return occ, c2w, intr, origin, voxel_size, width, height
+
+
+def oracle_rasterize(means2d, conics, depths, radii, valid, colors, opacities, bg,
+                     width, height):
+    """Brute-force per-pixel front-to-back alpha blend over ALL gaussians (no
+    tiling, no capacity caps): the uncapped spec for the tile rasterizer."""
+    order = np.argsort(np.where(valid, depths, np.inf))
+    CH = colors.shape[1]
+    img = np.zeros((height, width, CH), np.float64)
+    alpha_out = np.zeros((height, width), np.float64)
+    for py in range(height):
+        for px in range(width):
+            pxy = np.array([px + 0.5, py + 0.5])
+            T = 1.0
+            acc = np.zeros(CH)
+            for g in order:
+                if not valid[g]:
+                    continue
+                d = means2d[g] - pxy
+                a, b, c = conics[g]
+                sigma = 0.5 * (a * d[0] ** 2 + c * d[1] ** 2) + b * d[0] * d[1]
+                if sigma < 0:
+                    continue
+                al = min(0.999, opacities[g] * np.exp(-sigma))
+                if al < 1.0 / 255.0:
+                    continue
+                acc += T * al * colors[g]
+                T *= 1.0 - al
+                if T < 1e-6:
+                    break
+            img[py, px] = acc + T * bg
+            alpha_out[py, px] = 1.0 - T
+    return img, alpha_out
