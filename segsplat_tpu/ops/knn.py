@@ -6,12 +6,16 @@ scene/gaussian_model.py:150). Its CUDA strategy is Morton-code sort + 1024-point
 with AABB rejection + per-point brute force over candidate boxes.
 
 The TPU-native strategy keeps the same skeleton but regularizes it for the VPU:
-Morton-sort the points, then for each point consider a fixed window of W sorted
-neighbors on each side — a dense [N, 2W] distance computation (vectorized gather +
-elementwise), followed by top-3-min via three masked row minima. Morton order gives
-spatial locality, so a modest window recovers the true 3-NN for all but adversarial
-distributions (validated against scipy cKDTree in tests/test_knn.py); the window is a
-tunable accuracy/throughput knob exactly like the reference's box size.
+Morton-sort the points into fixed-size boxes with min/max AABBs (like the CUDA
+kernel), then instead of CUDA's divergent per-point rejection loop, every query
+ranks ALL boxes by point-to-AABB squared distance (a dense [chunk, n_boxes]
+computation), takes the top-M boxes with ``lax.top_k``, and brute-forces their
+M·box_size candidate points — a dense regular gather + reduction with static
+shapes. AABB distance lower-bounds the true point distance, so with the default
+box=16 / m_boxes=32 (512 candidates/query) the result is exact on every tested
+distribution (validated against a numpy brute-force oracle in tests/test_knn.py);
+both knobs trade throughput for a provable candidate budget exactly like the
+reference's 1024-point box size.
 """
 
 from __future__ import annotations
@@ -49,41 +53,62 @@ def morton_codes(points: jax.Array) -> jax.Array:
             | (_expand_bits10(q[:, 2]) << 2))
 
 
-@partial(jax.jit, static_argnames=("k", "window"))
-def knn_mean_sq_dist(points: jax.Array, k: int = 3, window: int = 32) -> jax.Array:
+@partial(jax.jit, static_argnames=("k", "box", "m_boxes", "chunk"))
+def knn_mean_sq_dist(points: jax.Array, k: int = 3, box: int = 16,
+                     m_boxes: int = 32, chunk: int = 1024) -> jax.Array:
     """Mean squared distance to the k nearest neighbors of each point.
 
     Drop-in distCUDA2 equivalent (simple_knn.cu boxMeanDist): returns [N] float32.
+    Morton-sort → ``box``-point boxes with AABBs → per query rank all boxes by
+    point-to-AABB distance, brute-force the ``m_boxes`` closest. Queries are
+    processed in ``chunk`` blocks via lax.map to bound peak memory at
+    chunk × n_boxes + chunk × m_boxes·box × 3 floats.
     """
     n = points.shape[0]
     order = jnp.argsort(morton_codes(points))
-    sorted_pts = points[order]
+    sp = points[order]                                        # [N, 3] sorted
 
-    offsets = jnp.concatenate([jnp.arange(-window, 0), jnp.arange(1, window + 1)])
-    idx = jnp.arange(n)[:, None] + offsets[None, :]          # [N, 2W]
-    valid = (idx >= 0) & (idx < n)
-    idx = jnp.clip(idx, 0, n - 1)
-    nbrs = sorted_pts[idx]                                    # [N, 2W, 3]
-    d2 = jnp.sum((nbrs - sorted_pts[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(valid, d2, jnp.inf)
+    pad = (-n) % box
+    spp = jnp.pad(sp, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    nb = spp.shape[0] // box
+    boxed = spp.reshape(nb, box, 3)
+    bmin = jnp.min(jnp.where(jnp.isfinite(boxed), boxed, jnp.inf), axis=1)
+    bmax = jnp.max(jnp.where(jnp.isfinite(boxed), boxed, -jnp.inf), axis=1)
+    m = min(m_boxes, nb)
 
-    # top-k smallest via k successive masked minima (k is tiny)
-    total = jnp.zeros((n,), points.dtype)
-    for _ in range(k):
-        m = jnp.min(d2, axis=1)
-        am = jnp.argmin(d2, axis=1)
-        total = total + m
-        d2 = d2.at[jnp.arange(n), am].set(jnp.inf)
-    mean_sorted = total / k
+    qpad = (-n) % chunk
+    q_all = jnp.pad(sp, ((0, qpad), (0, 0)))
+    ranks = jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, qpad), constant_values=-1)
+    slot = jnp.arange(box, dtype=jnp.int32)
 
-    out = jnp.zeros((n,), points.dtype).at[order].set(mean_sorted)
-    return out
+    def block(args):
+        q, r = args                                           # [B,3], [B]
+        d = jnp.maximum(jnp.maximum(bmin[None] - q[:, None], q[:, None] - bmax[None]), 0.0)
+        bd2 = jnp.sum(d * d, axis=-1)                         # [B, nb]
+        _, top = jax.lax.top_k(-bd2, m)                       # [B, m] closest boxes
+        cidx = (top[:, :, None] * box + slot[None, None, :]).reshape(q.shape[0], -1)
+        valid = (cidx < n) & (cidx != r[:, None])             # drop padding + self
+        nbrs = sp[jnp.clip(cidx, 0, n - 1)]                   # [B, m·box, 3]
+        d2 = jnp.sum((nbrs - q[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(valid, d2, jnp.inf)
+        # top-k smallest via k successive masked minima (k is tiny)
+        total = jnp.zeros(d2.shape[:1], points.dtype)
+        rows = jnp.arange(d2.shape[0])
+        for _ in range(k):
+            total = total + jnp.min(d2, axis=1)
+            d2 = d2.at[rows, jnp.argmin(d2, axis=1)].set(jnp.inf)
+        return total / k
+
+    mean_sorted = jax.lax.map(
+        block, (q_all.reshape(-1, chunk, 3), ranks.reshape(-1, chunk))
+    ).reshape(-1)[:n]
+    return jnp.zeros((n,), points.dtype).at[order].set(mean_sorted)
 
 
-def initial_log_scales(points: np.ndarray, window: int = 32) -> jax.Array:
+def initial_log_scales(points: np.ndarray) -> jax.Array:
     """log(sqrt(clamp(dist2, 1e-7))) replicated ×3 — the Gaussian scale init
     (scene/gaussian_model.py:150-151)."""
-    d2 = knn_mean_sq_dist(jnp.asarray(points, jnp.float32), k=3, window=window)
+    d2 = knn_mean_sq_dist(jnp.asarray(points, jnp.float32), k=3)
     s = jnp.log(jnp.sqrt(jnp.clip(d2, 1e-7, None)))
     return jnp.tile(s[:, None], (1, 3))
 

@@ -9,11 +9,11 @@ from tests import oracles
 def test_knn_mean_sq_dist_matches_bruteforce(rng):
     pts = rng.normal(size=(400, 3)).astype(np.float32)
     ref = oracles.oracle_knn_mean_sq(pts, k=3)
-    got = np.asarray(K.knn_mean_sq_dist(jnp.asarray(pts), k=3, window=64))
-    # Morton-window approximation: near-exact (f32 kernel vs f64 oracle), and the
-    # windowed search can only miss true neighbors, never invent closer ones
+    got = np.asarray(K.knn_mean_sq_dist(jnp.asarray(pts), k=3))
+    # Morton-box AABB candidate search: exact here (f32 kernel vs f64 oracle), and a
+    # truncated candidate set can only miss true neighbors, never invent closer ones
     assert np.allclose(got, ref, rtol=1e-3, atol=1e-5)
-    assert (got >= ref - 1e-5).all(), "window kNN must never underestimate distances"
+    assert (got >= ref - 1e-5).all(), "box kNN must never underestimate distances"
 
 
 def test_knn_clustered(rng):
@@ -21,9 +21,9 @@ def test_knn_clustered(rng):
     centers = rng.normal(size=(8, 3)) * 10
     pts = (centers[rng.integers(0, 8, 600)] + rng.normal(size=(600, 3)) * 0.1).astype(np.float32)
     ref = oracles.oracle_knn_mean_sq(pts, k=3)
-    got = np.asarray(K.knn_mean_sq_dist(jnp.asarray(pts), k=3, window=64))
+    got = np.asarray(K.knn_mean_sq_dist(jnp.asarray(pts), k=3))
     rel = np.abs(got - ref) / np.maximum(ref, 1e-9)
-    assert (rel < 1e-5).mean() > 0.97
+    assert (rel < 1e-5).mean() > 0.999
 
 
 def test_initial_log_scales_shape(rng):
