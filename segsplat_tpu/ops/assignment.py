@@ -1,0 +1,99 @@
+"""On-device linear sum assignment (Hungarian / Jonker–Volgenant).
+
+The reference round-trips device→host→scipy every training iteration for the
+virtual-GT Hungarian matching (train_unified_lift.py:258-260,
+scipy.optimize.linear_sum_assignment on a ≤256×256 cost). A host callback inside a
+partitioned SPMD program serializes through device 0 and can reorder against
+collectives, so the TPU-native framework solves the LAP *on device*: the
+Jonker–Volgenant shortest-augmenting-path algorithm with all inner state as dense
+[N] vectors — argmin/where/scatter per step, O(N) lax.while_loop iterations per row,
+O(N³) total vector work (N=256 → ~17M elementwise ops, microseconds on a TPU core
+and compiled into the train step, no host hop).
+
+Validated bit-for-bit against scipy.optimize.linear_sum_assignment in
+tests/test_assignment.py (equal assignment cost; ties may resolve differently,
+which scipy itself does not stabilize either).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(jnp.inf)
+
+
+@jax.jit
+def linear_sum_assignment(cost: jax.Array):
+    """Minimum-cost perfect matching on a square [N, N] float cost matrix.
+
+    Returns (col_of_row [N] int32, row_of_col [N] int32): col_of_row[i] is the
+    column assigned to row i.
+    """
+    n = cost.shape[0]
+    assert cost.shape == (n, n), "cost must be square"
+    cost = cost.astype(jnp.float32)
+
+    def assign_row(carry, i):
+        v, row_of_col, col_of_row = carry
+
+        # grow an alternating tree from row i until a free column is reached
+        d0 = cost[i] - v
+        pred0 = jnp.full((n,), i, jnp.int32)
+        scanned0 = jnp.zeros((n,), jnp.bool_)
+
+        def tree_cond(st):
+            _, _, _, j_free, _ = st
+            return j_free < 0
+
+        def tree_body(st):
+            d, pred, scanned, _, _ = st
+            dm = jnp.where(scanned, _INF, d)
+            j = jnp.argmin(dm).astype(jnp.int32)
+            r = row_of_col[j]
+            is_free = r < 0
+
+            # relax unscanned columns through row r (no-op when j is free)
+            rr = jnp.maximum(r, 0)
+            slack = d[j] + (cost[rr] - v) - (cost[rr, j] - v[j])
+            upd = (~scanned) & (slack < d) & ~is_free
+            upd = upd.at[j].set(False)
+            d = jnp.where(upd, slack, d)
+            pred = jnp.where(upd, rr, pred)
+            scanned = jnp.where(is_free, scanned, scanned.at[j].set(True))
+            j_free = jnp.where(is_free, j, -1)
+            return d, pred, scanned, j_free, d[j]
+
+        d, pred, scanned, j_free, delta = jax.lax.while_loop(
+            tree_cond, tree_body,
+            (d0, pred0, scanned0, jnp.int32(-1), jnp.float32(0.0)))
+
+        # dual update over scanned columns
+        v = jnp.where(scanned, v + d - delta, v)
+
+        # augment: flip matched edges along the pred chain back to row i
+        def aug_cond(st):
+            j, _, _ = st
+            return j >= 0
+
+        def aug_body(st):
+            j, roc, cor = st
+            r = pred[j]
+            roc = roc.at[j].set(r)
+            j_next = cor[r]
+            cor = cor.at[r].set(j)
+            j_next = jnp.where(r == i, -1, j_next)
+            return j_next, roc, cor
+
+        _, row_of_col, col_of_row = jax.lax.while_loop(
+            aug_cond, aug_body, (j_free, row_of_col, col_of_row))
+        return (v, row_of_col, col_of_row), None
+
+    init = (jnp.zeros((n,), jnp.float32),
+            jnp.full((n,), -1, jnp.int32),
+            jnp.full((n,), -1, jnp.int32))
+    (v, row_of_col, col_of_row), _ = jax.lax.scan(
+        assign_row, init, jnp.arange(n, dtype=jnp.int32))
+    return col_of_row, row_of_col

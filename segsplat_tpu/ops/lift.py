@@ -107,8 +107,12 @@ def first_hit_voxels(occupancy: jax.Array,        # [Z,Y,X] int32, 0 = empty, el
         new_hit = jnp.where((new_hit == 0) & exhausted, -1, new_hit)
         return ci + 1, new_hit, active_t + chunk * ray_increment
 
-    hit0 = jnp.zeros((P,), jnp.int32)
-    _, hit, _ = jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), hit0, t_start))
+    # seed the carry from t_start so its varying-manual-axes status matches the
+    # body output under shard_map (zeros literal would be device-invariant and
+    # trip the while_loop vma check)
+    hit0 = (t_start * 0.0).astype(jnp.int32)
+    ci0 = jnp.zeros((), jnp.int32) + (hit0[0] * 0)
+    _, hit, _ = jax.lax.while_loop(cond, body, (ci0, hit0, t_start))
     return jnp.maximum(hit, 0).reshape(height, width)
 
 

@@ -1,0 +1,113 @@
+"""Multi-chip Unified-Lift training: view-batch data parallelism + codebook tensor
+parallelism over a (view, tensor) mesh.
+
+The reference trains one view per iteration on one GPU (train_unified_lift.py:341-355).
+The TPU-native step renders a *minibatch* of views per iteration:
+
+  * the view batch (cameras, GT images, GT object masks, RNG) is sharded over the
+    mesh ``view`` axis; every chip renders + differentiates its own views and XLA
+    psum-reduces the parameter gradients over ICI (data parallelism),
+  * the 256-row codebook-logit matmul ``code_book @ objects`` (train_unified_lift.py:371)
+    carries a sharding constraint splitting the codebook axis over the mesh
+    ``tensor`` axis (Megatron-style column parallelism); XLA inserts the gather
+    where the Hungarian matching needs full rows,
+  * Gaussian parameters, optimizer state, and codebook stay replicated — the
+    GaussianTable is small next to activations (a 1M-Gaussian table is ~250 MB;
+    one 1168×1752 render's tile activations dominate).
+
+Losses are averaged over the view batch, so a B-view step approximates B reference
+iterations with a B×-larger effective batch (the standard DP semantics change,
+documented rather than hidden).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from segsplat_tpu.core.types import Camera, GaussianTable
+from segsplat_tpu.parallel.mesh import TENSOR_AXIS, VIEW_AXIS, replicated, view_sharding
+from segsplat_tpu.train.densify import add_stats
+from segsplat_tpu.train.trainer import (OptimizationConfig, TrainState,
+                                        compute_losses, table_params, with_params)
+
+
+def make_parallel_train_step(cfg: OptimizationConfig, optimizers, mesh: Mesh,
+                             raster_kw: Optional[dict] = None):
+    """Build the jitted multi-view train step.
+
+    The returned function takes (state, cameras, gt_images, gt_objs, bg, rngs)
+    where cameras is a batched Camera pytree and gt_images/gt_objs/rngs carry a
+    leading view-batch axis divisible by mesh.shape[view].
+    """
+    gauss_opt, cls_opt = optimizers
+    raster_kw = raster_kw or {}
+
+    def shard_logits(x):
+        # [NUM_CODEBOOK, ...] per view (inside vmap): split the codebook axis
+        spec = P(*([TENSOR_AXIS] + [None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    batch_sh = view_sharding(mesh)
+    repl = replicated(mesh)
+
+    def per_view_loss(params, code_book, offset, camera, gt_image, gt_obj, bg, rng,
+                      template: GaussianTable):
+        t = with_params(template, params)
+        return compute_losses(t, code_book, camera, gt_image, gt_obj, bg, rng,
+                              cfg, offset, raster_kw, shard_logits=shard_logits)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, cameras: Camera, gt_images: jax.Array,
+                   gt_objs: jax.Array, bg: jax.Array, rngs: jax.Array):
+        params = table_params(state.table)
+        offset = jnp.zeros((state.table.capacity, 2))
+
+        def loss_fn(params, code_book, offset):
+            totals, auxs = jax.vmap(
+                per_view_loss, in_axes=(None, None, None, 0, 0, 0, None, 0, None)
+            )(params, code_book, offset, cameras, gt_images, gt_objs, bg, rngs,
+              state.table)
+            aux = {k: (v if k in ("radii", "visible") else jnp.mean(v))
+                   for k, v in auxs.items()}
+            return jnp.mean(totals), aux
+
+        (_, aux), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(params, state.code_book, offset)
+        g_params, g_cb, g_off = grads
+
+        updates, opt_state = gauss_opt.update(g_params, state.opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        cb_updates, cls_opt_state = cls_opt.update(g_cb, state.cls_opt_state,
+                                                   state.code_book)
+        new_cb = optax.apply_updates(state.code_book, cb_updates)
+
+        # per-view screenspace grads arrive summed over the batch by autodiff;
+        # visibility/radii reduce with any/max across views
+        visible = jnp.any(aux["visible"], axis=0)
+        radii = jnp.max(aux["radii"], axis=0)
+        stats = add_stats(state.stats, g_off, visible, radii)
+        new_state = TrainState(
+            table=with_params(state.table, new_params),
+            opt_state=opt_state, code_book=new_cb, cls_opt_state=cls_opt_state,
+            stats=stats, step=state.step + 1)
+        metrics = {k: aux[k] for k in
+                   ("l1", "dssim", "contrastive", "cls", "clustering", "reg",
+                    "total", "psnr")}
+        return new_state, metrics
+
+    def place_batch(cameras: Camera, gt_images, gt_objs, rngs):
+        """Device_put the view batch with view-axis sharding, everything else
+        replicated (call once per step; cheap for host-resident batches)."""
+        cams = jax.device_put(cameras, batch_sh)
+        return (cams, jax.device_put(gt_images, batch_sh),
+                jax.device_put(gt_objs, batch_sh), jax.device_put(rngs, batch_sh))
+
+    train_step.place_batch = place_batch
+    train_step.replicate = lambda state: jax.device_put(state, repl)
+    return train_step

@@ -37,8 +37,9 @@ class DensifyStats(NamedTuple):
 
     @staticmethod
     def zero(capacity: int) -> "DensifyStats":
-        z = jnp.zeros((capacity,), jnp.float32)
-        return DensifyStats(z, z, z)
+        # three distinct buffers: aliasing one array would break jit donation
+        z = lambda: jnp.zeros((capacity,), jnp.float32)
+        return DensifyStats(z(), z(), z())
 
 
 def add_stats(stats: DensifyStats, means2d_grad: jax.Array,

@@ -157,23 +157,19 @@ def confidence_map(features: jax.Array, gt_obj: jax.Array,
 
 # ───────────────────────── virtual GT via Hungarian ─────────────────────────
 
-def _hungarian_host(cost: np.ndarray) -> np.ndarray:
-    from scipy.optimize import linear_sum_assignment
-    rows, cols = linear_sum_assignment(np.nan_to_num(cost))
-    out = np.full(cost.shape[0], -1, np.int32)
-    out[rows] = cols.astype(np.int32)
-    return out
-
-
 def virtual_gt_labels(gt_obj: jax.Array, logits: jax.Array) -> jax.Array:
     """Hungarian-matched relabeling (create_virtual_gt_with_linear_assignment,
     train_unified_lift.py:247-264).
 
     gt_obj: [H, W] int mask ids; logits: [K, H, W] codebook scores.
     Builds a [K, K] cost from per-mask-id mean softmax scores (rows for absent ids
-    neutral), solves the ≤256×256 assignment on host (pure_callback — the exact
-    structure the reference round-trips to scipy per iteration), returns [H, W].
+    neutral) and solves the ≤256×256 assignment ON DEVICE
+    (ops/assignment.linear_sum_assignment) — the reference round-trips to scipy on
+    the host every iteration (:258-260); the on-device JV solver keeps the whole
+    train step one XLA program and is SPMD-safe. Returns [H, W].
     """
+    from segsplat_tpu.ops.assignment import linear_sum_assignment
+
     K = logits.shape[0]
     lab = jnp.clip(gt_obj.reshape(-1), 0, NUM_CLUSTERS - 1)
     probs = jax.nn.softmax(logits.reshape(K, -1).T, axis=-1)    # [P, K]
@@ -184,10 +180,9 @@ def virtual_gt_labels(gt_obj: jax.Array, logits: jax.Array) -> jax.Array:
     # cost −Σp for present ids; absent rows get 0 cost everywhere (assignment
     # then routes them arbitrarily without affecting present rows' optimum)
     cost = jnp.where(present[:, None], -sums, 0.0)
-    assign = jax.pure_callback(
-        _hungarian_host,
-        jax.ShapeDtypeStruct((NUM_CLUSTERS,), np.int32),
-        cost, vmap_method="sequential")
+    # discrete relabeling — no gradient flows through it (the reference computes
+    # it from detached logits too)
+    assign, _ = linear_sum_assignment(jax.lax.stop_gradient(cost))
     new_lab = assign[lab]
     return new_lab.reshape(gt_obj.shape)
 

@@ -171,8 +171,14 @@ def init_state(table: GaussianTable, cfg: OptimizationConfig,
 def compute_losses(table: GaussianTable, code_book: jax.Array, camera: Camera,
                    gt_image: jax.Array, gt_obj: jax.Array, bg: jax.Array,
                    rng: jax.Array, cfg: OptimizationConfig,
-                   offset: jax.Array, raster_kw: dict):
-    """Loss pipeline for one view; returns (total, aux dict)."""
+                   offset: jax.Array, raster_kw: dict,
+                   shard_logits=None):
+    """Loss pipeline for one view; returns (total, aux dict).
+
+    ``shard_logits`` is an optional hook applied to the [NUM_CODEBOOK, ...]
+    codebook-logit tensor — the multi-chip path (parallel/train.py) injects a
+    tensor-axis sharding constraint here so the 256-row matmul runs
+    column-parallel across the mesh."""
     out = render(table, camera, bg, means2d_offset=offset, **raster_kw)
     image, objects = out["render"], out["render_object"]
 
@@ -186,6 +192,8 @@ def compute_losses(table: GaussianTable, code_book: jax.Array, camera: Camera,
     # codebook logits on detached features (train_unified_lift.py:371)
     obj_flat = jax.lax.stop_gradient(objects.reshape(NUM_OBJECTS, -1))
     logits = (code_book @ obj_flat).reshape(NUM_CODEBOOK, *gt_obj.shape)
+    if shard_logits is not None:
+        logits = shard_logits(logits)
     vgt = L.virtual_gt_labels(gt_obj, logits)
     cls_loss = L.gated_classification_loss(logits, vgt, conf, cfg.num_classes)
     clu_loss = L.clustering_loss(objects, vgt, code_book, conf)

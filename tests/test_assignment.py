@@ -1,0 +1,60 @@
+"""On-device LAP solver vs scipy.optimize.linear_sum_assignment (the reference's
+exact dependency, train_unified_lift.py:260)."""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import linear_sum_assignment as scipy_lap
+
+from segsplat_tpu.ops.assignment import linear_sum_assignment
+
+
+def _check(cost):
+    col_of_row, row_of_col = linear_sum_assignment(jnp.asarray(cost))
+    col_of_row = np.asarray(col_of_row)
+    row_of_col = np.asarray(row_of_col)
+    n = cost.shape[0]
+    # valid permutation
+    assert sorted(col_of_row.tolist()) == list(range(n))
+    assert (row_of_col[col_of_row] == np.arange(n)).all()
+    # optimal total cost (ties may pick a different optimal matching)
+    ri, ci = scipy_lap(cost)
+    ours = cost[np.arange(n), col_of_row].sum()
+    theirs = cost[ri, ci].sum()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+def test_random_square():
+    rng = np.random.default_rng(0)
+    for n in (1, 2, 5, 16, 64):
+        for _ in range(3):
+            _check(rng.random((n, n)).astype(np.float32))
+
+
+def test_negative_costs():
+    rng = np.random.default_rng(1)
+    _check((rng.random((32, 32)) * 2 - 1).astype(np.float32))
+
+
+def test_ties_and_duplicates():
+    rng = np.random.default_rng(2)
+    c = rng.integers(0, 3, (24, 24)).astype(np.float32)  # heavy ties
+    _check(c)
+    _check(np.zeros((8, 8), np.float32))
+
+
+def test_identity_structure():
+    n = 10
+    c = np.ones((n, n), np.float32)
+    np.fill_diagonal(c, 0.0)
+    col_of_row, _ = linear_sum_assignment(jnp.asarray(c))
+    np.testing.assert_array_equal(np.asarray(col_of_row), np.arange(n))
+
+
+def test_reference_cost_shape():
+    """The training-path shape: softmax-sum cost with absent-id zero rows
+    (losses.virtual_gt_labels)."""
+    rng = np.random.default_rng(3)
+    n = 256
+    c = -rng.random((n, n)).astype(np.float32)
+    c[100:] = 0.0  # absent ids
+    _check(c)

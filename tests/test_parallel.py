@@ -1,0 +1,143 @@
+"""Multi-chip sharding tests on the 8-virtual-CPU-device mesh (conftest.py)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segsplat_tpu.core.types import Camera, GaussianTable, stack_cameras
+from segsplat_tpu.ops.lift import default_max_steps, lift_views_scan
+from segsplat_tpu.parallel import (lift_views_sharded, make_mesh,
+                                   make_parallel_train_step)
+from segsplat_tpu.train.trainer import (OptimizationConfig, init_state,
+                                        init_table_from_pcd, make_train_step)
+
+
+def _make_views(rng, V, H, W, C):
+    """V inward-looking cameras around a small voxel cluster at the origin."""
+    feats = rng.random((V, H, W, C)).astype(np.float32)
+    c2ws, intr = [], []
+    fx = fy = 40.0
+    for i in range(V):
+        ang = 2 * np.pi * i / V
+        pos = np.array([2.5 * np.sin(ang), 0.0, 2.5 * np.cos(ang) * -1.0])
+        # look-at origin
+        fwd = -pos / np.linalg.norm(pos)
+        right = np.cross(np.array([0.0, 1.0, 0.0]), fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, fwd, pos
+        c2ws.append(c2w)
+        intr.append([fx, fy, W / 2, H / 2])
+    return (jnp.asarray(feats), jnp.asarray(np.stack(c2ws)),
+            jnp.asarray(np.array(intr, np.float32)))
+
+
+def test_lift_views_sharded_matches_single_device(rng):
+    V, H, W, C = 8, 24, 32, 16
+    Z = Y = X = 8
+    occ = np.zeros((Z, Y, X), np.int32)
+    ids = np.arange(1, 1 + Z * Y * X).reshape(Z, Y, X)
+    occ[2:6, 2:6, 2:6] = ids[2:6, 2:6, 2:6]
+    num_ids = int(occ.max()) + 1
+    vs = 0.25
+    origin = np.array([-1.0, -1.0, -1.0], np.float32)
+
+    feats, c2ws, intr = _make_views(rng, V, H, W, C)
+    inc = vs * 0.5
+    steps = default_max_steps(W, H, 40.0, 40.0, 0.5, 6.0, inc)
+
+    ref_sums, ref_counts = lift_views_scan(
+        feats, jnp.asarray(occ), c2ws, intr, jnp.asarray(origin),
+        jnp.asarray(vs, jnp.float32), 0.5, 6.0, jnp.asarray(inc, jnp.float32),
+        num_ids, steps, W, H)
+
+    mesh = make_mesh(n_view=4, n_tensor=2)
+    sums, counts = lift_views_sharded(
+        mesh, feats, jnp.asarray(occ), c2ws, intr, jnp.asarray(origin),
+        jnp.asarray(vs, jnp.float32), 0.5, 6.0, inc, num_ids, steps)
+
+    assert int(np.asarray(ref_counts).sum()) > 0, "test scene must produce hits"
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_counts))
+    np.testing.assert_allclose(np.asarray(sums), np.asarray(ref_sums),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _tiny_train_setup(rng, n=64, capacity=96):
+    pts = (rng.random((n, 3)) * 2 - 1).astype(np.float32)
+    cols = rng.random((n, 3)).astype(np.float32)
+    table = init_table_from_pcd(pts, cols, capacity, max_sh_degree=1)
+    cfg = OptimizationConfig(num_classes=16)
+    state, opts = init_state(table, cfg, spatial_lr_scale=1.0)
+    return table, cfg, state, opts
+
+
+def _tiny_cam(i, V, H=32, W=32):
+    ang = 2 * np.pi * i / V
+    pos = np.array([3 * np.sin(ang), 0.0, -3 * np.cos(ang)])
+    fwd = -pos / np.linalg.norm(pos)
+    right = np.cross(np.array([0.0, 1.0, 0.0]), fwd)
+    right /= np.linalg.norm(right)
+    up = np.cross(fwd, right)
+    R = np.stack([right, up, fwd], axis=1).astype(np.float32)  # c2w rotation
+    T = (-R.T @ pos).astype(np.float32)
+    return Camera(R=jnp.asarray(R), T=jnp.asarray(T),
+                  fov_x=jnp.asarray(0.8), fov_y=jnp.asarray(0.8),
+                  width=W, height=H)
+
+
+def test_parallel_train_step_runs_and_matches_dp_semantics(rng):
+    """One sharded multi-view step must run on the 4x2 mesh and produce finite
+    losses + updated params."""
+    table, cfg, state, opts = _tiny_train_setup(rng)
+    mesh = make_mesh(n_view=4, n_tensor=2)
+    raster_kw = dict(max_tiles_per_axis=4, max_per_tile=96, tile_chunk=4)
+    step = make_parallel_train_step(cfg, opts, mesh, raster_kw)
+
+    V, H, W = 4, 32, 32
+    cams = stack_cameras([_tiny_cam(i, V, H, W) for i in range(V)])
+    gt_img = jnp.asarray(rng.random((V, 3, H, W)), jnp.float32)
+    gt_obj = jnp.asarray(rng.integers(0, 16, (V, H, W)), jnp.int32)
+    bg = jnp.zeros((3,))
+    rngs = jax.random.split(jax.random.PRNGKey(0), V)
+
+    state = step.replicate(state)
+    xyz_before = np.asarray(state.table.xyz).copy()  # state is donated by the step
+    cams, gt_img, gt_obj, rngs = step.place_batch(cams, gt_img, gt_obj, rngs)
+    new_state, metrics = step(state, cams, gt_img, gt_obj, bg, rngs)
+
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert int(new_state.step) == 1
+    assert not np.allclose(np.asarray(new_state.table.xyz), xyz_before)
+
+
+def test_single_view_parallel_step_close_to_serial(rng):
+    """A 1-view batch through the parallel step (1x1 mesh) must match the serial
+    train step bit-for-bit up to reduction reordering."""
+    table, cfg, state, opts = _tiny_train_setup(rng)
+    raster_kw = dict(max_tiles_per_axis=4, max_per_tile=96, tile_chunk=4)
+    serial = make_train_step(cfg, opts, raster_kw)
+
+    H = W = 32
+    cam = _tiny_cam(0, 4, H, W)
+    gt_img = jnp.asarray(rng.random((3, H, W)), jnp.float32)
+    gt_obj = jnp.asarray(rng.integers(0, 16, (H, W)), jnp.int32)
+    bg = jnp.zeros((3,))
+    key = jax.random.PRNGKey(7)
+
+    s1, m1 = serial(state, cam, gt_img, gt_obj, bg, key)
+
+    mesh = make_mesh(n_view=1, n_tensor=1, devices=jax.devices()[:1])
+    pstep = make_parallel_train_step(cfg, opts, mesh, raster_kw)
+    cams = stack_cameras([cam])
+    s2, m2 = pstep(state, cams, gt_img[None], gt_obj[None], bg, key[None])
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
+    np.testing.assert_allclose(np.asarray(s1.table.xyz), np.asarray(s2.table.xyz),
+                               rtol=1e-4, atol=1e-6)
