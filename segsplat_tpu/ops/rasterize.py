@@ -231,8 +231,96 @@ def _blend_tiles(sorted_gid, offsets, proj: Projected, colors, opacities,
     return img, alpha
 
 
+def _bin_gaussian_ranks(proj: Projected, width: int, height: int,
+                        max_tiles_per_axis: int):
+    """Binning for the Pallas blend path: depth-sort once, then sort (tile, rank)
+    pairs with a single PACKED uint32 key (tile ≪ rank_bits | depth_rank) when the
+    bit budget allows — unique keys make the sort stability-free and single-operand,
+    ~2× cheaper than the stable two-operand sort.
+
+    Returns (order [N] depth order, rank_sorted [N·m²], offsets [T+1]).
+    """
+    tx_n = -(-width // TILE)
+    ty_n = -(-height // TILE)
+    num_tiles = tx_n * ty_n
+    n = proj.means2d.shape[0]
+    m = max_tiles_per_axis
+
+    depth_key = jnp.where(proj.valid, proj.depths, jnp.inf)
+    order = jnp.argsort(depth_key)
+    means2d = proj.means2d[order]
+    radii = proj.radii[order]
+    valid = proj.valid[order]
+
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - radii) / TILE), 0, tx_n - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - radii) / TILE), 0, ty_n - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + radii) / TILE), 0, tx_n - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + radii) / TILE), 0, ty_n - 1).astype(jnp.int32)
+
+    di = jnp.arange(m, dtype=jnp.int32)
+    txs = x0[:, None, None] + di[None, :, None]
+    tys = y0[:, None, None] + di[None, None, :]
+    in_rect = ((txs <= x1[:, None, None]) & (tys <= y1[:, None, None])
+               & valid[:, None, None])
+    tile_id = jnp.where(in_rect, tys * tx_n + txs, num_tiles)      # sentinel = T
+    rank = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None, None],
+                            (n, m, m))
+    tile_flat = tile_id.reshape(n * m * m)
+    rank_flat = rank.reshape(n * m * m)
+
+    rank_bits = max(int(math.ceil(math.log2(max(n, 2)))), 1)
+    tile_bits = max(int(math.ceil(math.log2(num_tiles + 2))), 1)
+    if rank_bits + tile_bits <= 32:
+        key = (tile_flat.astype(jnp.uint32) << rank_bits) | rank_flat.astype(jnp.uint32)
+        skey = jax.lax.sort(key, dimension=0)
+        rank_sorted = (skey & jnp.uint32((1 << rank_bits) - 1)).astype(jnp.int32)
+        probes = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits)
+        offsets = jnp.searchsorted(skey, probes).astype(jnp.int32)
+    else:
+        stile, rank_sorted = jax.lax.sort((tile_flat, rank_flat), dimension=0,
+                                          is_stable=True, num_keys=1)
+        offsets = jnp.searchsorted(
+            stile, jnp.arange(num_tiles + 1, dtype=jnp.int32)).astype(jnp.int32)
+    return order, rank_sorted, offsets, (tx_n, ty_n)
+
+
+def _blend_tiles_pallas(proj: Projected, colors, opacities, bg,
+                        width: int, height: int, max_tiles_per_axis: int,
+                        max_per_tile: int):
+    """Pallas blend path: fused per-Gaussian payload, sorted into per-tile
+    contiguous depth-ordered runs (two coalesced row gathers — measured 10×
+    faster than per-field or per-element gathers), blended by the DMA kernel
+    (ops/blend_pallas.py) with no [T, K] window materialization."""
+    from segsplat_tpu.ops.blend_pallas import (GEOM, PAYLOAD_WIDTH,
+                                               blend_tiles_pallas_dma)
+
+    K = max_per_tile
+    order, rank_sorted, offsets, (tx_n, ty_n) = _bin_gaussian_ranks(
+        proj, width, height, max_tiles_per_axis)
+
+    n = colors.shape[0]
+    CHp = colors.shape[1]
+    payload = jnp.concatenate([
+        proj.means2d, proj.conics, opacities[:, None],
+        jnp.zeros((n, GEOM - 6), colors.dtype), colors,
+        jnp.zeros((n, PAYLOAD_WIDTH - GEOM - CHp), colors.dtype)],
+        axis=1)                                                    # [N, 128]
+    payload_ds = payload[order]                                    # depth-sorted
+    sorted_payload = payload_ds[rank_sorted]                       # per-tile runs
+    sorted_payload = jnp.pad(sorted_payload, ((0, K), (0, 0)))     # DMA overrun pad
+
+    img, alpha = blend_tiles_pallas_dma(offsets, sorted_payload, bg,
+                                        tx_n, ty_n, K)
+    CH = colors.shape[1]
+    img = img.reshape(ty_n, tx_n, TILE, TILE, CH).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(ty_n * TILE, tx_n * TILE, CH)
+    alpha = alpha.reshape(ty_n, tx_n, TILE, TILE).transpose(0, 2, 1, 3)
+    alpha = alpha.reshape(ty_n * TILE, tx_n * TILE)
+    return img, alpha
+
+
 @partial(jax.jit, static_argnames=("width", "height", "max_tiles_per_axis",
-                                   "max_per_tile", "tile_chunk"))
+                                   "max_per_tile", "tile_chunk", "backend"))
 def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
               opacities: jax.Array, colors: jax.Array,
               viewmat: jax.Array, fx, fy, cx, cy,
@@ -240,7 +328,7 @@ def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
               bg: Optional[jax.Array] = None,
               means2d_offset: Optional[jax.Array] = None,
               max_tiles_per_axis: int = 8, max_per_tile: int = 512,
-              tile_chunk: int = 64):
+              tile_chunk: int = 64, backend: str = "xla"):
     """Full differentiable forward: project → bin → blend.
 
     colors: [N, CH] per-Gaussian channel payload (RGB / identity / logits —
@@ -248,6 +336,9 @@ def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
     means2d_offset: [N, 2] zeros; its gradient is the screenspace-mean gradient the
     densification heuristic consumes (the reference's ``screenspace_points`` trick,
     gaussian_renderer/__init__.py:26-30).
+
+    backend: "xla" (differentiable, any platform) or "pallas" (fused TPU kernel,
+    forward-only — the inference/FPS path; requires max_per_tile % 128 == 0).
 
     Returns dict: image [H,W,CH], alpha [H,W], radii [N], visible [N] bool,
     depths [N].
@@ -259,10 +350,15 @@ def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
                              width, height)
     if means2d_offset is not None:
         proj = proj._replace(means2d=proj.means2d + means2d_offset)
-    sorted_tile, sorted_gid, offsets, (tx_n, ty_n) = _bin_gaussians(
-        proj, width, height, max_tiles_per_axis)
-    img, alpha = _blend_tiles(sorted_gid, offsets, proj, colors, opacities, bg,
-                              tx_n, ty_n, max_per_tile, tile_chunk)
+    if backend == "pallas":
+        img, alpha = _blend_tiles_pallas(proj, colors, opacities, bg,
+                                         width, height, max_tiles_per_axis,
+                                         max_per_tile)
+    else:
+        sorted_tile, sorted_gid, offsets, (tx_n, ty_n) = _bin_gaussians(
+            proj, width, height, max_tiles_per_axis)
+        img, alpha = _blend_tiles(sorted_gid, offsets, proj, colors, opacities,
+                                  bg, tx_n, ty_n, max_per_tile, tile_chunk)
     return {
         "image": img[:height, :width],
         "alpha": alpha[:height, :width],
