@@ -1,0 +1,26 @@
+#!/usr/bin/env python
+"""Voxel-level open-vocab query — drop-in for the reference's
+voxel_to_gaussian/voxeltovoxel_logits.py (:138-291): labels stay on voxels."""
+
+from __future__ import annotations
+
+from argparse import ArgumentParser
+
+from segsplat_tpu.pipeline.query import query_voxels
+
+
+def main(argv=None):
+    p = ArgumentParser()
+    p.add_argument("--vox", required=True)
+    p.add_argument("--prompt", type=str, nargs="+", required=True)
+    p.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+    out = query_voxels(args.vox, args.prompt, args.out)
+    import numpy as np
+    labels = out["labels"]
+    print("[INFO] label histogram:",
+          dict(zip(*[x.tolist() for x in np.unique(labels, return_counts=True)])))
+
+
+if __name__ == "__main__":
+    main()

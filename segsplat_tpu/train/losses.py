@@ -115,7 +115,11 @@ def contrastive_loss(features: jax.Array, gt_obj: jax.Array, rng: jax.Array,
     """
     D = features.shape[0]
     feat = features.reshape(D, -1).T                      # [P, D]
-    reg = ((jnp.linalg.norm(feat, axis=-1, keepdims=True) - 1.0) ** 2).mean()
+    # safe norm: pure-background pixels render exactly-zero identity features and
+    # d‖f‖/df is 0/0 there (torch's norm backward returns the 0 subgradient the
+    # reference silently relies on; JAX's returns NaN and poisons objects_dc)
+    reg = ((jnp.sqrt(jnp.sum(feat * feat, axis=-1, keepdims=True) + 1e-12)
+            - 1.0) ** 2).mean()
 
     P = feat.shape[0]
     idx = jax.random.randint(rng, (batch_size,), 0, P)
@@ -215,7 +219,8 @@ def clustering_loss(objects: jax.Array, vgt: jax.Array, code_book: jax.Array,
     obj = obj / (jnp.linalg.norm(obj, axis=-1, keepdims=True) + 1e-6)
     cb = code_book[vgt.reshape(-1)]
     conf = confidence.reshape(-1)
-    d = jnp.linalg.norm(obj - cb, axis=-1)
+    diff = obj - cb
+    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)  # safe norm (grad at 0)
     return jnp.where(conf.sum() > 0, (d * conf).sum() / jnp.maximum(conf.sum(), 1.0), 0.0)
 
 

@@ -149,9 +149,13 @@ def make_optimizer(cfg: OptimizationConfig, spatial_lr_scale: float):
 
 
 def init_state(table: GaussianTable, cfg: OptimizationConfig,
-               spatial_lr_scale: float, seed: int = 0) -> Tuple[TrainState, Any]:
-    gauss_opt = make_optimizer(cfg, spatial_lr_scale)
-    cls_opt = optax.adam(cfg.codebook_lr)
+               spatial_lr_scale: float, seed: int = 0,
+               optimizers: Optional[Tuple] = None) -> Tuple[TrainState, Any]:
+    if optimizers is not None:
+        gauss_opt, cls_opt = optimizers
+    else:
+        gauss_opt = make_optimizer(cfg, spatial_lr_scale)
+        cls_opt = optax.adam(cfg.codebook_lr)
     rng = jax.random.PRNGKey(seed)
     # codebook initialized like a conv kernel (train_unified_lift.py:295-297)
     scale = 1.0 / np.sqrt(NUM_OBJECTS)
@@ -245,6 +249,30 @@ def make_train_step(cfg: OptimizationConfig, optimizers, raster_kw: Optional[dic
         return new_state, metrics
 
     return train_step
+
+
+_STEP_CACHE: dict = {}
+
+
+def cached_train_step(cfg: OptimizationConfig, spatial_lr_scale: float,
+                      raster_kw: Optional[dict] = None):
+    """Memoized (train_step, optimizers) per config.
+
+    Two separately-jitted train steps with identical programs in one process
+    trip a runtime buffer-count error in this jax build (the second executable
+    loses its hoisted constants: "Execution supplied 47 buffers but compiled
+    program expected 49"); reusing one jitted step per config sidesteps that
+    and saves the recompile.
+    """
+    raster_kw = dict(raster_kw or {})
+    key = (dataclasses.astuple(cfg), float(spatial_lr_scale),
+           tuple(sorted(raster_kw.items())))
+    if key not in _STEP_CACHE:
+        gauss_opt = make_optimizer(cfg, spatial_lr_scale)
+        cls_opt = optax.adam(cfg.codebook_lr)
+        opts = (gauss_opt, cls_opt)
+        _STEP_CACHE[key] = (make_train_step(cfg, opts, raster_kw), opts)
+    return _STEP_CACHE[key]
 
 
 def one_up_sh_degree(table: GaussianTable) -> GaussianTable:
