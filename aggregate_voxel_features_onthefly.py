@@ -30,13 +30,16 @@ def main(argv=None):
                    metavar=("H", "W"))
     p.add_argument("--first_only", action="store_true",
                    help="only process the first view (debug)")
+    p.add_argument("--method", default="splat", choices=["splat", "dda"],
+                   help="splat = fast voxel-splatting first hit; dda = exact "
+                        "CUDA-kernel transcription")
     args = p.parse_args(argv)
 
     cfg = LiftConfig(depth_min=args.depth_min, depth_max=args.depth_max,
                      downsample_factor=args.downsample_factor,
                      max_views=args.max_views,
                      checkpoint_every=args.checkpoint_every,
-                     view_chunk=args.view_chunk)
+                     view_chunk=args.view_chunk, method=args.method)
     out = aggregate_voxel_features(args.voxel_ply, args.lseg_dir,
                                    args.camera_params, args.out_dir, cfg,
                                    image_size=(tuple(args.image_size)

@@ -53,6 +53,10 @@ class LiftConfig:
     max_views: int = 216               # :106
     checkpoint_every: int = 20         # :317
     view_chunk: int = 8                # views per compiled scan step
+    method: str = "splat"              # "splat" (fast, ops/lift_splat) or
+    #                                    "dda" (exact kernel transcription)
+    splat_max_tiles_per_axis: int = 8
+    splat_max_per_tile: int = 128
 
 
 def load_camera_json(path: str) -> Tuple[Dict[str, dict], Dict[str, list]]:
@@ -119,6 +123,7 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
     import jax.numpy as jnp
 
     from segsplat_tpu.ops.lift import first_hit_voxels, scatter_features
+    from segsplat_tpu.ops.lift_splat import first_hit_voxels_splat
 
     centers, colors, vs, origin, shape = read_voxel_grid_ply(voxel_ply)
     if vs is None:
@@ -130,7 +135,12 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
         shape=shape if shape else ())
     occ, occ_origin, occ_shape = occupancy_from_grid(grid)
     num_ids = len(centers) + 1
-    print(f"[INFO] occupancy {occ_shape}, {len(centers)} voxels @ {vs}")
+    print(f"[INFO] occupancy {occ_shape}, {len(centers)} voxels @ {vs} "
+          f"(method={cfg.method})")
+    # splat path: snapped centers + 1-based ids in occupancy enumeration order
+    snap_centers = jnp.asarray(
+        np.round((centers - occ_origin) / vs) * vs + occ_origin, jnp.float32)
+    snap_ids = jnp.arange(1, len(centers) + 1, dtype=jnp.int32)
 
     files = sorted(glob.glob(os.path.join(lseg_dir, "*.npy")))[:cfg.max_views]
     if first_only:
@@ -163,12 +173,20 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
             fmap = jax.image.resize(fmap.astype(jnp.float32), (C, H, W),
                                     method="bilinear")
             fmap = jnp.transpose(fmap, (1, 2, 0))
-            hits = first_hit_voxels(occ, c2w, K,
-                                    jnp.asarray(occ_origin, jnp.float32),
-                                    jnp.asarray(vs, jnp.float32),
-                                    cfg.depth_min, cfg.depth_max,
-                                    jnp.asarray(inc, jnp.float32),
-                                    W, H, steps)
+            if cfg.method == "splat":
+                hits = first_hit_voxels_splat(
+                    snap_centers, snap_ids, c2w, K,
+                    jnp.asarray(vs, jnp.float32), cfg.depth_min, cfg.depth_max,
+                    jnp.asarray(inc, jnp.float32), W, H,
+                    max_tiles_per_axis=cfg.splat_max_tiles_per_axis,
+                    max_per_tile=cfg.splat_max_per_tile)
+            else:
+                hits = first_hit_voxels(occ, c2w, K,
+                                        jnp.asarray(occ_origin, jnp.float32),
+                                        jnp.asarray(vs, jnp.float32),
+                                        cfg.depth_min, cfg.depth_max,
+                                        jnp.asarray(inc, jnp.float32),
+                                        W, H, steps)
             ds, dc = scatter_features(fmap, hits, num_ids)
             return (s + ds, c + dc), None
 

@@ -1,0 +1,63 @@
+"""Splat-formulated first hit vs the DDA reference implementation."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from segsplat_tpu.ops.lift import default_max_steps, first_hit_voxels
+from segsplat_tpu.ops.lift_splat import first_hit_voxels_splat
+
+
+def _scene(rng, Z=10, Y=8, X=12, fill=0.06):
+    occ = np.zeros((Z, Y, X), np.int32)
+    mask = rng.random((Z, Y, X)) < fill
+    mask[0, :, :] = True  # a solid back wall
+    ids = np.cumsum(mask.ravel()).reshape(Z, Y, X)
+    occ[mask] = ids[mask]
+    return occ
+
+
+def _cam(i, n):
+    ang = 2 * np.pi * i / max(n, 1)
+    pos = np.array([2.5 * np.sin(ang), 0.3, -2.5 * np.cos(ang)])
+    fwd = -pos / np.linalg.norm(pos)
+    right = np.cross([0.0, 1.0, 0.0], fwd)
+    right /= np.linalg.norm(right)
+    up = np.cross(fwd, right)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, fwd, pos
+    return c2w
+
+
+@pytest.mark.parametrize("view", [0, 1, 2])
+def test_splat_matches_dda(rng, view):
+    occ = _scene(rng)
+    Z, Y, X = occ.shape
+    vs = 0.22
+    origin = np.array([-1.3, -0.9, -1.1], np.float32)
+    W, H = 48, 40
+    fx = fy = 45.0
+    intr = jnp.asarray([fx, fy, W / 2, H / 2], jnp.float32)
+    c2w = jnp.asarray(_cam(view, 3))
+    inc = vs * 0.5
+    steps = default_max_steps(W, H, fx, fy, 0.05, 8.0, inc)
+
+    dda = np.asarray(first_hit_voxels(
+        jnp.asarray(occ), c2w, intr, jnp.asarray(origin),
+        jnp.asarray(vs, jnp.float32), 0.05, 8.0,
+        jnp.asarray(inc, jnp.float32), W, H, steps))
+
+    coords = np.argwhere(occ > 0)                       # [V,3] (z,y,x)
+    ids = occ[coords[:, 0], coords[:, 1], coords[:, 2]]
+    centers = coords[:, ::-1].astype(np.float32) * vs + origin  # (x,y,z)
+
+    splat = np.asarray(first_hit_voxels_splat(
+        jnp.asarray(centers), jnp.asarray(ids.astype(np.int32)), c2w, intr,
+        jnp.asarray(vs, jnp.float32), 0.05, 8.0, jnp.asarray(inc, jnp.float32),
+        W, H, max_tiles_per_axis=4, max_per_tile=64, tile_chunk=4))
+
+    assert (dda > 0).sum() > 0.3 * dda.size, "scene must be mostly covered"
+    agree = (dda == splat).mean()
+    # fp boundary cases (grazing rays, cube-face hits) may differ; require
+    # near-exact agreement
+    assert agree > 0.97, f"only {agree:.3f} agreement"
