@@ -4,6 +4,11 @@ drop-in for the reference's betterGaussians/dist_to_mesh_filter.py (:16-40)."""
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from argparse import ArgumentParser
 
 import numpy as np

@@ -4,6 +4,11 @@ reference's script/eval_lerf_mask_unified_lift.py (:83-168)."""
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import csv
 import glob
 import os

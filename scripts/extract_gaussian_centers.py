@@ -4,6 +4,11 @@ voxel_to_gaussian/extract_gaussian_centers.py (:15-50)."""
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from argparse import ArgumentParser
 
 from segsplat_tpu.pipeline.query import extract_gaussian_centers

@@ -5,6 +5,11 @@ save [512, H, W] fp16 .npy per image)."""
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import glob
 import os
 from argparse import ArgumentParser

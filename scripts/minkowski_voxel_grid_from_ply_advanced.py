@@ -4,6 +4,11 @@ script/minkowski_voxel_grid_from_ply_advanced.py (flags :10-21)."""
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 from argparse import ArgumentParser
 

