@@ -91,16 +91,6 @@ def _blend_tile_kernel_dma(offs_ref, payload_hbm, bg_ref, img_ref, alpha_ref,
                 i=i, j=j, k_max=k_max, ch=ch, g_block=g_block)
 
 
-def _blend_tile_kernel(counts_ref, win_ref, bg_ref, img_ref, alpha_ref,
-                       *, k_max: int, ch: int, tx_n: int, g_block: int):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    t = i * pl.num_programs(1) + j
-    count = counts_ref[t]
-    _blend_body(count, win_ref.at[0], bg_ref, img_ref, alpha_ref,
-                i=i, j=j, k_max=k_max, ch=ch, g_block=g_block)
-
-
 def _blend_body(count, win_ref, bg_ref, img_ref, alpha_ref,
                 *, i, j, k_max: int, ch: int, g_block: int):
 
@@ -157,6 +147,9 @@ def _blend_body(count, win_ref, bg_ref, img_ref, alpha_ref,
         0, n_blocks, block, (acc0, trans0, jnp.asarray(False)))
 
     img = acc + trans.reshape(PX, 1) * bg_ref[0:1, :]
+    # per-tile list layout [T, PX, CH]: contiguous 32KB block writes. (Writing
+    # (TILE,TILE,CH) blocks straight into image layout was measured 25 ms/frame
+    # SLOWER — 2KB strided row writes — than this + the XLA transpose pass.)
     img_ref[0, :, :] = img
     alpha_ref[0, 0, :] = 1.0 - trans[0]
 
@@ -171,7 +164,8 @@ def blend_tiles_pallas_dma(offsets: jax.Array,   # [T+1] int32 run starts (pairs
     """Blend all tiles reading each tile's contiguous depth-ordered payload run
     directly from HBM (no per-tile window gather). ``sorted_payload`` must be
     padded with ≥ k_max rows past offsets[-1] and to PAYLOAD_WIDTH lanes; mu in
-    IMAGE pixel coords. Returns (img [T, PX, CH], alpha [T, PX])."""
+    IMAGE pixel coords. Returns (img [ty_n·16, tx_n·16, CH],
+    alpha [ty_n·16, tx_n·16]) — written in image layout by the kernel."""
     T = tx_n * ty_n
     ch = bg.shape[-1]
     assert sorted_payload.shape[-1] == PAYLOAD_WIDTH, (
@@ -212,55 +206,7 @@ def blend_tiles_pallas_dma(offsets: jax.Array,   # [T+1] int32 run starts (pairs
             transcendentals=T * k_max * PX,
         ),
     )(offsets, sorted_payload, bg.reshape(1, ch))
-    return img, alpha.reshape(T, PX)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("tx_n", "ty_n", "k_max", "g_block"))
-def blend_tiles_pallas(counts: jax.Array,     # [T] int32 per-tile gaussian count
-                       windows: jax.Array,    # [T, K, 8+CH] fused payload windows
-                       bg: jax.Array,         # [CH]
-                       tx_n: int, ty_n: int, k_max: int, g_block: int = 128):
-    """Blend all tiles from fused payload windows (depth-ordered per tile).
-
-    Payload row layout: [mu_x, mu_y, conic_a, conic_b, conic_c, opacity, pad,
-    pad, color_0..color_{CH-1}] in IMAGE pixel coords.
-    Returns (img [T, PX, CH], alpha [T, PX]).
-    """
-    T = tx_n * ty_n
-    ch = windows.shape[-1] - GEOM
-    assert k_max % g_block == 0, f"k_max must be a multiple of {g_block}"
-
-    kernel = functools.partial(_blend_tile_kernel, k_max=k_max, ch=ch,
-                               tx_n=tx_n, g_block=g_block)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(ty_n, tx_n),
-        in_specs=[
-            pl.BlockSpec((1, k_max, GEOM + ch),
-                         lambda i, j, c: (i * tx_n + j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ch), lambda i, j, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, PX, ch), lambda i, j, c: (i * tx_n + j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PX), lambda i, j, c: (i * tx_n + j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-    img, alpha = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((T, PX, ch), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, PX), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=T * k_max * PX * 2 * (ch + 10),
-            bytes_accessed=T * k_max * (GEOM + ch) * 4 + T * PX * ch * 4,
-            transcendentals=T * k_max * PX,
-        ),
-    )(counts, windows, bg.reshape(1, ch))
-    return img, alpha.reshape(T, PX)
+    img = img.reshape(ty_n, tx_n, TILE, TILE, ch).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(ty_n * TILE, tx_n * TILE, ch)
+    alpha = alpha.reshape(ty_n, tx_n, TILE, TILE).transpose(0, 2, 1, 3)
+    return img, alpha.reshape(ty_n * TILE, tx_n * TILE)

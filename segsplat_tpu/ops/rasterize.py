@@ -45,6 +45,10 @@ from segsplat_tpu.core.transforms import quat_to_rotmat
 TILE = 16
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 class Projected(NamedTuple):
     means2d: jax.Array   # [N, 2] pixel coords
     depths: jax.Array    # [N]
@@ -232,13 +236,19 @@ def _blend_tiles(sorted_gid, offsets, proj: Projected, colors, opacities,
 
 
 def _bin_gaussian_ranks(proj: Projected, width: int, height: int,
-                        max_tiles_per_axis: int):
+                        max_tiles_per_axis: int, pair_cap: Optional[int] = None):
     """Binning for the Pallas blend path: depth-sort once, then sort (tile, rank)
     pairs with a single PACKED uint32 key (tile ≪ rank_bits | depth_rank) when the
     bit budget allows — unique keys make the sort stability-free and single-operand,
     ~2× cheaper than the stable two-operand sort.
 
-    Returns (order [N] depth order, rank_sorted [N·m²], offsets [T+1]).
+    ``pair_cap`` compacts the N·m² pair array (most slots are out-of-rect
+    sentinels) to a fixed budget with jnp.nonzero(size=cap) BEFORE the sort —
+    the sort/gather/window stages then scale with the cap instead of N·m².
+    On overflow the pairs of the deepest gaussians drop first (pairs are
+    depth-major); keep the cap generous (4·N covers radii ≲ 24 px everywhere).
+
+    Returns (order [N] depth order, rank_sorted [L], offsets [T+1]).
     """
     tx_n = -(-width // TILE)
     ty_n = -(-height // TILE)
@@ -268,6 +278,16 @@ def _bin_gaussian_ranks(proj: Projected, width: int, height: int,
     tile_flat = tile_id.reshape(n * m * m)
     rank_flat = rank.reshape(n * m * m)
 
+    if pair_cap is not None and pair_cap < n * m * m:
+        (keep,) = jnp.nonzero(tile_flat < num_tiles, size=pair_cap,
+                              fill_value=n * m * m - 1)
+        # dropped-overflow slots point at the last pair; if it is valid they
+        # duplicate it — force them to the sentinel instead
+        n_valid = jnp.sum(tile_flat < num_tiles)
+        slot_ids = jnp.arange(pair_cap)
+        tile_flat = jnp.where(slot_ids < n_valid, tile_flat[keep], num_tiles)
+        rank_flat = jnp.where(slot_ids < n_valid, rank_flat[keep], 0)
+
     rank_bits = max(int(math.ceil(math.log2(max(n, 2)))), 1)
     tile_bits = max(int(math.ceil(math.log2(num_tiles + 2))), 1)
     if rank_bits + tile_bits <= 32:
@@ -295,11 +315,33 @@ def _blend_tiles_pallas(proj: Projected, colors, opacities, bg,
                                                blend_tiles_pallas_dma)
 
     K = max_per_tile
+    # NB pair_cap compaction (jnp.nonzero(size)) measured 2× SLOWER end-to-end
+    # on TPU than sorting the padded pair array — nonzero's cumsum+gather costs
+    # more than the sort work it saves; keep the padded path
     order, rank_sorted, offsets, (tx_n, ty_n) = _bin_gaussian_ranks(
-        proj, width, height, max_tiles_per_axis)
+        proj, width, height, max_tiles_per_axis, pair_cap=None)
 
     n = colors.shape[0]
     CHp = colors.shape[1]
+    # NB the packed two-pairs-per-row kernel (ops/blend_pallas2.py) halves DMA
+    # traffic but measured 4 ms/frame SLOWER at 1080p — its lane sub-slicing and
+    # halved matmul contraction depth cost more than the bytes saved. The blend
+    # is compute-bound, so the padded single-pair layout stays the default.
+    use_packed = False
+    if use_packed and CHp <= 56:
+        from segsplat_tpu.ops.blend_pallas2 import blend_tiles_pallas_packed
+
+        payload = jnp.concatenate([
+            proj.means2d, proj.conics, opacities[:, None],
+            jnp.zeros((n, GEOM - 6), colors.dtype), colors,
+            jnp.zeros((n, 64 - GEOM - CHp), colors.dtype)], axis=1)  # [N, 64]
+        sorted_payload = payload[order][rank_sorted]                 # [L, 64]
+        L = sorted_payload.shape[0]
+        pad = K + 4 + (L + K + 4) % 2                                # even total
+        sorted_payload = jnp.pad(sorted_payload, ((0, pad), (0, 0)))
+        packed = sorted_payload.reshape(-1, 128)                     # free relayout
+        return blend_tiles_pallas_packed(offsets, packed, bg, tx_n, ty_n, K)
+
     payload = jnp.concatenate([
         proj.means2d, proj.conics, opacities[:, None],
         jnp.zeros((n, GEOM - 6), colors.dtype), colors,
@@ -311,12 +353,7 @@ def _blend_tiles_pallas(proj: Projected, colors, opacities, bg,
 
     img, alpha = blend_tiles_pallas_dma(offsets, sorted_payload, bg,
                                         tx_n, ty_n, K)
-    CH = colors.shape[1]
-    img = img.reshape(ty_n, tx_n, TILE, TILE, CH).transpose(0, 2, 1, 3, 4)
-    img = img.reshape(ty_n * TILE, tx_n * TILE, CH)
-    alpha = alpha.reshape(ty_n, tx_n, TILE, TILE).transpose(0, 2, 1, 3)
-    alpha = alpha.reshape(ty_n * TILE, tx_n * TILE)
-    return img, alpha
+    return img, alpha      # already in image layout (kernel writes tile blocks)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_tiles_per_axis",
