@@ -365,7 +365,9 @@ def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
               bg: Optional[jax.Array] = None,
               means2d_offset: Optional[jax.Array] = None,
               max_tiles_per_axis: int = 8, max_per_tile: int = 512,
-              tile_chunk: int = 64, backend: str = "xla"):
+              tile_chunk: int = 64, backend: str = "xla",
+              tan_fovx: Optional[jax.Array] = None,
+              tan_fovy: Optional[jax.Array] = None):
     """Full differentiable forward: project → bin → blend.
 
     colors: [N, CH] per-Gaussian channel payload (RGB / identity / logits —
@@ -384,7 +386,7 @@ def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
     if bg is None:
         bg = jnp.zeros((CH,), colors.dtype)
     proj = project_gaussians(means3d, scales, quats, viewmat, fx, fy, cx, cy,
-                             width, height)
+                             width, height, tan_fovx=tan_fovx, tan_fovy=tan_fovy)
     if means2d_offset is not None:
         proj = proj._replace(means2d=proj.means2d + means2d_offset)
     if backend == "pallas":

@@ -141,3 +141,38 @@ def test_single_view_parallel_step_close_to_serial(rng):
                                    atol=1e-5, err_msg=k)
     np.testing.assert_allclose(np.asarray(s1.table.xyz), np.asarray(s2.table.xyz),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_rasterize_sharded_matches_single_device(rng):
+    """Image-strip sharded rendering must match the single-device render
+    row-for-row."""
+    import jax
+    from segsplat_tpu.ops.rasterize import rasterize
+    from segsplat_tpu.parallel.mesh import make_mesh
+    from segsplat_tpu.parallel.render import rasterize_sharded
+
+    n = 400
+    xyz = jnp.asarray((rng.random((n, 3)) * np.array([3, 2, 2])
+                       + np.array([-1.5, -1, 1.5])), jnp.float32)
+    scales = jnp.asarray(np.exp(rng.normal(-2.5, 0.3, (n, 3))), jnp.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    quats = jnp.asarray(q)
+    opac = jnp.asarray(rng.uniform(0.3, 0.95, (n,)), jnp.float32)
+    colors = jnp.asarray(rng.random((n, 8)), jnp.float32)
+    W, H = 64, 64
+    fx = fy = 60.0
+    vm = jnp.eye(4)
+    bg = jnp.asarray(rng.random(8), jnp.float32)
+
+    ref = rasterize(xyz, scales, quats, opac, colors, vm, fx, fy, W / 2, H / 2,
+                    W, H, bg=bg, max_tiles_per_axis=4, max_per_tile=96,
+                    tile_chunk=4)
+    mesh = make_mesh(n_view=4, n_tensor=1, devices=jax.devices()[:4])
+    got = rasterize_sharded(mesh, xyz, scales, quats, opac, colors, vm,
+                            fx, fy, W / 2, H / 2, W, H, bg=bg,
+                            max_tiles_per_axis=4, max_per_tile=96, tile_chunk=4)
+    np.testing.assert_allclose(np.asarray(got["image"]),
+                               np.asarray(ref["image"]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["alpha"]),
+                               np.asarray(ref["alpha"]), rtol=1e-5, atol=1e-5)
