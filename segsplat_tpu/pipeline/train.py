@@ -161,6 +161,14 @@ def train(source_path: str, model_path: str,
             if progress_cb:
                 progress_cb(rec)
 
+        if it in run.test_iterations:
+            rec = _evaluate(state.table, scene, scale, bg, raster_kw, it)
+            metrics_f.write(json.dumps(rec) + "\n")
+            metrics_f.flush()
+            print(f"[ITER {it}] eval: " + ", ".join(
+                f"{k}={v:.3f}" for k, v in rec.items()
+                if isinstance(v, float)))
+
         if it in run.save_iterations:
             print(f"[ITER {it}] saving point cloud + classifier")
             scene.save(it, state.table)
@@ -173,6 +181,27 @@ def train(source_path: str, model_path: str,
 
     metrics_f.close()
     return state
+
+
+def _evaluate(table, scene, scale, bg, raster_kw, it, max_views: int = 5) -> dict:
+    """Test-time PSNR over held-out (or a train subset of) views — the
+    reference's training_report (train_unified_lift.py test_iterations)."""
+    import jax.numpy as jnp
+
+    from segsplat_tpu.eval.metrics import psnr_np
+    from segsplat_tpu.render import render
+    from segsplat_tpu.scene import to_device_camera
+
+    cams = scene.get_test_cameras() or scene.get_train_cameras()[:max_views]
+    cams = cams[:max_views]
+    psnrs = []
+    for c in cams:
+        out = render(table, to_device_camera(c, scale), bg, **raster_kw)
+        img = np.clip(np.asarray(out["render"]), 0, 1)
+        gt = np.transpose(c.load_image(scale), (2, 0, 1))
+        psnrs.append(psnr_np(img, gt))
+    return {"iter": it, "eval_psnr": float(np.mean(psnrs)),
+            "eval_views": len(cams)}
 
 
 # ───────────────────────── checkpointing (orbax) ─────────────────────────

@@ -49,7 +49,7 @@ def test_train_smoke_with_full_schedule(blender_scene, tmp_path):
         iterations=12, densify_from_iter=4, densify_until_iter=10,
         densification_interval=5, opacity_reset_interval=8, num_classes=16)
     run = TrainRunConfig(
-        iterations=12, test_iterations=(), save_iterations=(12,),
+        iterations=12, test_iterations=(12,), save_iterations=(12,),
         checkpoint_iterations=(12,), sh_up_every=6, log_every=2,
         num_classes=16, raster_max_tiles_per_axis=4, raster_max_per_tile=64,
         raster_tile_chunk=4)
@@ -64,7 +64,10 @@ def test_train_smoke_with_full_schedule(blender_scene, tmp_path):
     assert os.path.exists(os.path.join(model_path, "cameras.json"))
     metrics = [json.loads(l) for l in
                open(os.path.join(model_path, "metrics.jsonl"))]
-    assert metrics and all(np.isfinite(m["total"]) for m in metrics)
+    assert metrics and all(np.isfinite(m["total"]) for m in metrics
+                           if "total" in m)
+    assert any("eval_psnr" in m and np.isfinite(m["eval_psnr"])
+               for m in metrics), "test-iteration eval must log PSNR"
 
     # saved PLY round-trips through the Scene loader with identity features
     from segsplat_tpu.scene import load_gaussian_table
