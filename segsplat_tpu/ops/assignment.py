@@ -26,8 +26,16 @@ _INF = jnp.float32(jnp.inf)
 
 
 @jax.jit
-def linear_sum_assignment(cost: jax.Array):
-    """Minimum-cost perfect matching on a square [N, N] float cost matrix.
+def linear_sum_assignment(cost: jax.Array, row_mask=None):
+    """Minimum-cost matching on a square [N, N] float cost matrix.
+
+    ``row_mask`` [N] bool restricts the assignment to a subset of rows — the
+    augmenting scan SKIPS masked-out rows entirely. The solver is sequential
+    per row (augmenting paths), so on TPU its cost is proportional to the
+    number of assigned rows; the training cost matrices have only the present
+    mask ids as meaningful rows (losses.virtual_gt_labels), which cuts the
+    on-device solve from ~184 ms to the present-row count. Masked rows get
+    col_of_row = -1.
 
     Returns (col_of_row [N] int32, row_of_col [N] int32): col_of_row[i] is the
     column assigned to row i.
@@ -35,8 +43,19 @@ def linear_sum_assignment(cost: jax.Array):
     n = cost.shape[0]
     assert cost.shape == (n, n), "cost must be square"
     cost = cost.astype(jnp.float32)
+    if row_mask is None:
+        row_mask = jnp.ones((n,), jnp.bool_)
 
     def assign_row(carry, i):
+        def skip(carry):
+            return carry
+
+        def solve(carry):
+            return _assign_one(carry, i)
+
+        return jax.lax.cond(row_mask[i], solve, skip, carry), None
+
+    def _assign_one(carry, i):
         v, row_of_col, col_of_row = carry
 
         # grow an alternating tree from row i until a free column is reached
@@ -89,7 +108,7 @@ def linear_sum_assignment(cost: jax.Array):
 
         _, row_of_col, col_of_row = jax.lax.while_loop(
             aug_cond, aug_body, (j_free, row_of_col, col_of_row))
-        return (v, row_of_col, col_of_row), None
+        return (v, row_of_col, col_of_row)
 
     init = (jnp.zeros((n,), jnp.float32),
             jnp.full((n,), -1, jnp.int32),

@@ -178,7 +178,7 @@ def blend_tiles_pallas_dma(offsets: jax.Array,   # [T+1] int32 run starts (pairs
         num_scalar_prefetch=1,
         grid=(ty_n, tx_n),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),                  # payload in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),                  # payload in HBM
             pl.BlockSpec((1, ch), lambda i, j, c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],

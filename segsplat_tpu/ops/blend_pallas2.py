@@ -158,7 +158,7 @@ def blend_tiles_pallas_packed(offsets: jax.Array,     # [T+1] int32 pair offsets
         num_scalar_prefetch=1,
         grid=(ty_n, tx_n),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, ch), lambda i, j, c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],

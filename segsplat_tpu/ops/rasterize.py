@@ -351,9 +351,10 @@ def _blend_tiles_pallas(proj: Projected, colors, opacities, bg,
     sorted_payload = payload_ds[rank_sorted]                       # per-tile runs
     sorted_payload = jnp.pad(sorted_payload, ((0, K), (0, 0)))     # DMA overrun pad
 
-    img, alpha = blend_tiles_pallas_dma(offsets, sorted_payload, bg,
-                                        tx_n, ty_n, K)
-    return img, alpha      # already in image layout (kernel writes tile blocks)
+    from segsplat_tpu.ops.blend_pallas_vjp import blend_core
+
+    img, alpha = blend_core(offsets, sorted_payload, bg, tx_n, ty_n, K)
+    return img, alpha
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_tiles_per_axis",

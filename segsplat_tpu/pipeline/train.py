@@ -57,6 +57,8 @@ class TrainRunConfig:
     raster_max_tiles_per_axis: int = 8
     raster_max_per_tile: int = 256
     raster_tile_chunk: int = 64
+    raster_backend: str = "auto"   # auto → pallas custom-VJP kernel on TPU,
+    #                                differentiable XLA blend elsewhere
 
 
 def train(source_path: str, model_path: str,
@@ -76,9 +78,15 @@ def train(source_path: str, model_path: str,
     scene = Scene(source_path, model_path, images=images, object_dir=object_dir,
                   eval_split=eval_split, capacity=capacity, seed=run.seed)
     table = scene.gaussians
+    backend = run.raster_backend
+    if backend == "auto":
+        import jax as _jax
+        backend = "xla" if _jax.default_backend() == "cpu" else "pallas"
+        if backend == "pallas" and run.raster_max_per_tile % 128 != 0:
+            backend = "xla"
     raster_kw = dict(max_tiles_per_axis=run.raster_max_tiles_per_axis,
                      max_per_tile=run.raster_max_per_tile,
-                     tile_chunk=run.raster_tile_chunk)
+                     tile_chunk=run.raster_tile_chunk, backend=backend)
     step_fn, optimizers = cached_train_step(opt, scene.cameras_extent, raster_kw)
     state, _ = init_state(table, opt, spatial_lr_scale=scene.cameras_extent,
                           seed=run.seed, optimizers=optimizers)

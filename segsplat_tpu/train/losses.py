@@ -185,8 +185,11 @@ def virtual_gt_labels(gt_obj: jax.Array, logits: jax.Array) -> jax.Array:
     # then routes them arbitrarily without affecting present rows' optimum)
     cost = jnp.where(present[:, None], -sums, 0.0)
     # discrete relabeling — no gradient flows through it (the reference computes
-    # it from detached logits too)
-    assign, _ = linear_sum_assignment(jax.lax.stop_gradient(cost))
+    # it from detached logits too). Only PRESENT mask ids need assignments
+    # (absent rows' outputs are never indexed by ``lab``), and the sequential
+    # solver's cost scales with assigned rows.
+    assign, _ = linear_sum_assignment(jax.lax.stop_gradient(cost),
+                                      row_mask=present)
     new_lab = assign[lab]
     return new_lab.reshape(gt_obj.shape)
 

@@ -58,3 +58,21 @@ def test_reference_cost_shape():
     c = -rng.random((n, n)).astype(np.float32)
     c[100:] = 0.0  # absent ids
     _check(c)
+
+
+def test_row_mask_subset_matches_subset_solve():
+    rng = np.random.default_rng(5)
+    n = 64
+    c = rng.random((n, n)).astype(np.float32)
+    mask = np.zeros(n, bool)
+    mask[[3, 10, 11, 40]] = True
+    col_of_row, row_of_col = linear_sum_assignment(jnp.asarray(c),
+                                                   row_mask=jnp.asarray(mask))
+    col_of_row = np.asarray(col_of_row)
+    assert (col_of_row[~mask] == -1).all()
+    sel = col_of_row[mask]
+    assert len(set(sel.tolist())) == mask.sum(), "assigned columns distinct"
+    # optimal for the selected sub-problem
+    ri, ci = scipy_lap(c[mask])
+    ours = c[mask][np.arange(mask.sum()), sel].sum()
+    np.testing.assert_allclose(ours, c[mask][ri, ci].sum(), rtol=1e-5)
