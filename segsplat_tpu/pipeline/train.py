@@ -116,6 +116,7 @@ def train(source_path: str, model_path: str,
 
     mkdir_p(model_path)
     metrics_f = open(os.path.join(model_path, "metrics.jsonl"), "a")
+    wandb_run = _maybe_init_wandb(model_path)
     order = rng_np.permutation(len(cams))
     cursor = 0
     t_start = time.perf_counter()
@@ -166,6 +167,8 @@ def train(source_path: str, model_path: str,
                    "elapsed_s": time.perf_counter() - t_start}
             metrics_f.write(json.dumps(rec) + "\n")
             metrics_f.flush()
+            if wandb_run is not None:
+                wandb_run.log(rec, step=it)
             if progress_cb:
                 progress_cb(rec)
 
@@ -189,6 +192,23 @@ def train(source_path: str, model_path: str,
 
     metrics_f.close()
     return state
+
+
+def _maybe_init_wandb(model_path: str):
+    """Opt-in wandb logging (SEGSPLAT_WANDB=1) — the reference hard-enables
+    wandb (train_unified_lift.py:569-574, project 'Unifed_Lift' [sic]); local
+    metrics.jsonl is always written either way."""
+    if os.environ.get("SEGSPLAT_WANDB") != "1":
+        return None
+    try:
+        import wandb
+
+        return wandb.init(project=os.environ.get("SEGSPLAT_WANDB_PROJECT",
+                                                 "segsplat_tpu"),
+                          name=os.path.basename(model_path) or None)
+    except Exception as e:  # pragma: no cover
+        print(f"[WARN] wandb unavailable ({e}); metrics.jsonl only")
+        return None
 
 
 def _evaluate(table, scene, scale, bg, raster_kw, it, max_views: int = 5) -> dict:

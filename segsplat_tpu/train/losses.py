@@ -56,17 +56,27 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
          sigma: float = 1.5) -> jax.Array:
     """[C,H,W] images, windowed SSIM with per-channel (depthwise) blur —
-    constants C1=0.01², C2=0.03² as in the reference."""
+    constants C1=0.01², C2=0.03² as in the reference. The Gaussian window is
+    separable: two 1-D passes (11+11 taps) instead of one 11×11 (121 taps)."""
     C = img1.shape[0]
-    w = _gaussian_window(window_size, sigma)
-    kernel = jnp.broadcast_to(w[None, None], (C, 1, window_size, window_size))
+    x1d = jnp.arange(window_size, dtype=jnp.float32) - window_size // 2
+    g1d = jnp.exp(-(x1d ** 2) / (2 * sigma ** 2))
+    g1d = g1d / g1d.sum()
+    kh = jnp.broadcast_to(g1d[None, None, None, :], (C, 1, 1, window_size))
+    kv = jnp.broadcast_to(g1d[None, None, :, None], (C, 1, window_size, 1))
 
     def blur(x):
-        return jax.lax.conv_general_dilated(
-            x[None], kernel, window_strides=(1, 1),
-            padding=[(window_size // 2,) * 2] * 2,
+        y = jax.lax.conv_general_dilated(
+            x[None], kh, window_strides=(1, 1),
+            padding=[(0, 0), (window_size // 2,) * 2],
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            feature_group_count=C)[0]
+            feature_group_count=C)
+        y = jax.lax.conv_general_dilated(
+            y, kv, window_strides=(1, 1),
+            padding=[(window_size // 2,) * 2, (0, 0)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=C)
+        return y[0]
 
     mu1, mu2 = blur(img1), blur(img2)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2

@@ -108,3 +108,35 @@ def test_expon_lr():
     assert float(f(0)) == pytest.approx(1e-2, rel=1e-3)
     assert float(f(100)) == pytest.approx(1e-4, rel=1e-3)
     assert float(f(50)) == pytest.approx(1e-3, rel=1e-3)
+
+
+def test_ssim_separable_matches_full_window(rng):
+    """The separable two-pass blur must equal the full 2-D Gaussian window."""
+    import jax
+    import jax.numpy as jnp
+    from segsplat_tpu.train.losses import _gaussian_window, ssim
+
+    a = jnp.asarray(rng.random((3, 40, 56)), jnp.float32)
+    b = jnp.asarray(rng.random((3, 40, 56)), jnp.float32)
+
+    # reference: full 11x11 window conv
+    w = _gaussian_window(11, 1.5)
+    kernel = jnp.broadcast_to(w[None, None], (3, 1, 11, 11))
+
+    def blur(x):
+        return jax.lax.conv_general_dilated(
+            x[None], kernel, window_strides=(1, 1), padding=[(5, 5)] * 2,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=3)[0]
+
+    mu1, mu2 = blur(a), blur(b)
+    s1 = blur(a * a) - mu1 * mu1
+    s2 = blur(b * b) - mu2 * mu2
+    s12 = blur(a * b) - mu1 * mu2
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    ref = (((2 * mu1 * mu2 + C1) * (2 * s12 + C2))
+           / ((mu1 * mu1 + mu2 * mu2 + C1) * (s1 + s2 + C2))).mean()
+
+    got = ssim(a, b)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    assert float(ssim(a, a)) > 0.999
