@@ -42,16 +42,19 @@ def main(argv=None):
                    help="optional class names for the per-class report")
     args = p.parse_args(argv)
 
-    preds = sorted(glob.glob(os.path.join(args.pred_dir, "*_labels.pt"))
-                   + glob.glob(os.path.join(args.pred_dir, "*.npy"))
-                   + glob.glob(os.path.join(args.pred_dir, "*.png")))
+    preds = sorted(glob.glob(os.path.join(args.pred_dir, "*_labels.pt")))
+    if not preds:  # fall back to any label-map-like files
+        preds = sorted(glob.glob(os.path.join(args.pred_dir, "*.npy"))
+                       + glob.glob(os.path.join(args.pred_dir, "*.png")))
     if not preds:
         raise SystemExit(f"no prediction label maps in {args.pred_dir}")
     conf = np.zeros((args.num_classes, args.num_classes), np.int64)
     matched = 0
     for pp in preds:
         base = os.path.basename(pp).split("_labels")[0].split(".")[0]
-        gts = (glob.glob(os.path.join(args.gt_dir, base + "*")) or [])
+        # prefer GT files that look like label maps over other artifacts
+        gts = (glob.glob(os.path.join(args.gt_dir, base + "*label*"))
+               or glob.glob(os.path.join(args.gt_dir, base + ".*")))
         if not gts:
             continue
         pred = _load(pp)

@@ -28,6 +28,8 @@ def main(argv=None):
                         "are then NOT semantically meaningful — logged)")
     p.add_argument("--short_side", type=int, default=360)
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
+                   help="MXU compute dtype (bf16: 59 ms/img for ViT-L on v5e)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -46,7 +48,10 @@ def main(argv=None):
     else:
         print("[WARN] no LSeg checkpoint — using random weights; extracted "
               "features will not be semantically meaningful")
-    model = LSegModel(params=params)
+    import jax.numpy as _jnp
+    model = LSegModel(params=params,
+                      compute_dtype=(_jnp.bfloat16 if args.dtype == "bfloat16"
+                                     else _jnp.float32))
 
     os.makedirs(args.out_dir, exist_ok=True)
     files = sorted(sum((glob.glob(os.path.join(args.images, e))

@@ -1,0 +1,125 @@
+"""End-to-end CLI chain on a tiny trained scene: semantics attach → render CLI →
+confidence/eval/stats CLIs — the full L6 inference surface."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+
+@pytest.fixture(scope="module")
+def trained_scene(tmp_path_factory):
+    """A few-iteration trained model over a synthetic blender scene."""
+    import json as _json
+
+    from PIL import Image
+    root = tmp_path_factory.mktemp("scene")
+    rng = np.random.default_rng(0)
+    frames = []
+    for i in range(3):
+        ang = 2 * np.pi * i / 3
+        pos = np.array([3 * np.sin(ang), 0.0, 3 * np.cos(ang)])
+        fwd = -pos / np.linalg.norm(pos)
+        right = np.cross([0.0, 1.0, 0.0], fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, fwd, pos
+        c2w[:3, 1:3] *= -1
+        name = f"r_{i}"
+        Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(
+            root / f"{name}.png")
+        frames.append({"file_path": name, "transform_matrix": c2w.tolist()})
+    with open(root / "transforms_train.json", "w") as f:
+        _json.dump({"camera_angle_x": 0.9, "frames": frames}, f)
+    from segsplat_tpu.io.dataset import store_point_cloud_ply
+    xyz = (rng.random((80, 3)) * 2 - 1).astype(np.float32)
+    store_point_cloud_ply(str(root / "points3d.ply"), xyz,
+                          (rng.random((80, 3)) * 255).astype(np.uint8))
+
+    from segsplat_tpu.pipeline.train import TrainRunConfig, train
+    from segsplat_tpu.train.trainer import OptimizationConfig
+    model = str(root / "model")
+    opt = OptimizationConfig(iterations=4, densify_from_iter=99,
+                             densify_until_iter=0, num_classes=16)
+    run = TrainRunConfig(iterations=4, test_iterations=(), save_iterations=(4,),
+                         checkpoint_iterations=(), sh_up_every=99, log_every=2,
+                         num_classes=16, raster_max_tiles_per_axis=4,
+                         raster_max_per_tile=64, raster_tile_chunk=4)
+    train(str(root), model, opt=opt, run=run, capacity=128)
+    # write a cfg_args for get_combined_args-based CLIs
+    from argparse import Namespace
+    from segsplat_tpu.utils.config import save_cfg_args
+    save_cfg_args(model, Namespace(
+        source_path=str(root), model_path=model, images="images",
+        object_path="object_mask", resolution=-1, white_background=False,
+        sh_degree=3, eval=False, train_split=False, data_device="tpu",
+        n_views=0, random_init=False, train_test_exp=False))
+    return dict(root=str(root), model=model)
+
+
+def test_render_semantics_cli_and_downstream(trained_scene, tmp_path):
+    from segsplat_tpu.io.ply import read_ply
+
+    model = trained_scene["model"]
+    ply = os.path.join(model, "point_cloud", "iteration_4", "point_cloud.ply")
+    n = len(read_ply(ply).vertex)
+
+    # fabricate a gaussian_semantics artifact (3 prompts)
+    rng = np.random.default_rng(1)
+    from segsplat_tpu.io.artifacts import save_semantics
+    sem_path = str(tmp_path / "gaussian_semantics.npz")
+    logits = rng.standard_normal((n, 3)).astype(np.float32)
+    save_semantics(sem_path, labels=logits.argmax(1), logits=logits,
+                   prompts=["wall", "chair", "floor"])
+
+    import render_semantics_logits as rsl
+    rsl.main(["--model_path", model, "--iteration", "4",
+              "--semantics", sem_path, "--skip_test", "--backend", "xla"])
+
+    out_dir = os.path.join(model, "train", "ours_4", "semantics")
+    files = os.listdir(out_dir)
+    assert any(f.endswith("_labels.pt") for f in files)
+    assert any(f.endswith("_mask_color.png") for f in files)
+    assert any(f.endswith("_logits.npy") for f in files)
+    assert any(f.endswith("_confidence.png") for f in files)
+
+    # confidence CLI on a saved logits file
+    import logit_confidence_map as lcm
+    logits_file = os.path.join(out_dir, sorted(
+        f for f in files if f.endswith("_logits.npy"))[0])
+    lcm.main(["--logits", logits_file, "--out", str(tmp_path / "conf.png")])
+    assert os.path.exists(tmp_path / "conf.png")
+
+    # ScanNet++-style eval: predictions vs themselves → perfect mIoU
+    import eval_scannetpp as ev
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ev.main(["--pred_dir", out_dir, "--gt_dir", out_dir,
+                 "--num_classes", "3"])
+    assert "mIoU 1.0000" in buf.getvalue()
+
+    # stats CLI
+    import analyze_gaussian_semantics as ags
+    with contextlib.redirect_stdout(io.StringIO()):
+        ags.main(["--semantics", sem_path])
+
+
+def test_editing_cli(trained_scene, tmp_path):
+    import edit_object_removal as rem
+
+    model = trained_scene["model"]
+    # point the classifier at the trained one
+    import contextlib, io
+    with contextlib.redirect_stdout(io.StringIO()):
+        rem.main(["--model_path", model, "--iteration", "4",
+                  "--select_obj_id", "0", "1", "2", "3",
+                  "--out_iteration", "5"])
+    out = os.path.join(model, "point_cloud", "iteration_5", "point_cloud.ply")
+    assert os.path.exists(out)
