@@ -185,3 +185,34 @@ def test_palette_matches_reference_construction():
     assert pal[1].tolist() == [128, 0, 0]
     assert pal[2].tolist() == [0, 128, 0]
     assert pal[4].tolist() == [0, 0, 128]
+
+
+def test_parity_harness(tmp_path, rng):
+    """The artifact-diff harness detects equality and differences."""
+    from segsplat_tpu.eval import parity
+    from segsplat_tpu.io.artifacts import save_semantics, save_voxel_features
+
+    xyz = rng.random((50, 3)).astype(np.float32)
+    feats = rng.random((50, 8)).astype(np.float32)
+    coords = rng.integers(0, 20, (50, 3))
+    a = str(tmp_path / "a.npz")
+    save_voxel_features(a, xyz, feats, coords)
+    # permuted copy → parity must match by coordinate
+    perm = rng.permutation(50)
+    b = str(tmp_path / "b.npz")
+    save_voxel_features(b, xyz[perm], feats[perm], coords[perm])
+    reports = parity.compare_voxel_features(a, b)
+    assert all(r.ok for r in reports), [r.line() for r in reports]
+
+    # corrupted copy → must fail
+    c = str(tmp_path / "c.npz")
+    save_voxel_features(c, xyz, feats + 0.5, coords)
+    reports = parity.compare_voxel_features(a, c)
+    assert not all(r.ok for r in reports)
+
+    s1 = str(tmp_path / "s1.npz")
+    s2 = str(tmp_path / "s2.npz")
+    logits = rng.random((40, 3)).astype(np.float32)
+    save_semantics(s1, logits.argmax(1), logits, ["a", "b", "c"])
+    save_semantics(s2, logits.argmax(1), logits + 1e-6, ["a", "b", "c"])
+    assert all(r.ok for r in parity.compare_semantics(s1, s2))
