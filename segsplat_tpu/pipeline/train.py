@@ -67,7 +67,7 @@ def train(source_path: str, model_path: str,
           images: str = "images", object_dir: str = "object_mask",
           eval_split: bool = False, capacity: Optional[int] = None,
           start_checkpoint: Optional[str] = None,
-          progress_cb=None) -> TrainState:
+          progress_cb=None, gui=None) -> TrainState:
     import jax
     import jax.numpy as jnp
 
@@ -128,6 +128,10 @@ def train(source_path: str, model_path: str,
             cursor = 0
         ci = int(order[cursor])
         cursor += 1
+
+        if gui is not None:
+            # SIBR viewer poll (train_unified_lift.py:319-332)
+            gui.poll_and_render(state.table, True, source_path, bg=bg)
 
         if it % run.sh_up_every == 0:
             state = state._replace(table=one_up_sh_degree(state.table))

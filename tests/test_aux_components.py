@@ -117,3 +117,62 @@ def test_viewer_camera_roundtrip():
     cam = vc.to_camera()
     np.testing.assert_allclose(np.asarray(cam.T), T, atol=1e-6)
     assert cam.width == 64 and cam.height == 48
+
+
+def test_viewer_wire_protocol(rng):
+    """Full socket round-trip: client sends a camera message, receives the
+    rendered RGB bytes + verify string (the SIBR protocol)."""
+    import json
+    import socket
+    import struct
+    import threading
+
+    import jax.numpy as jnp
+    from segsplat_tpu.train.trainer import init_table_from_pcd
+    from segsplat_tpu.viewer import NetworkGUI
+
+    table = init_table_from_pcd(
+        (rng.random((32, 3)) * 2 - 1).astype(np.float32),
+        rng.random((32, 3)).astype(np.float32), 48, max_sh_degree=1)
+
+    gui = NetworkGUI()
+    gui.init("127.0.0.1", 0)
+    port = gui.listener.getsockname()[1]
+
+    W = H = 32
+    msg = {
+        "resolution_x": W, "resolution_y": H, "train": True,
+        "fov_y": 0.8, "fov_x": 0.8, "z_near": 0.01, "z_far": 100.0,
+        "shs_python": False, "rot_scale_python": False, "keep_alive": False,
+        "scaling_modifier": 1.0,
+        "view_matrix": np.eye(4, dtype=np.float32).flatten().tolist(),
+        "view_projection_matrix": np.eye(4, dtype=np.float32).flatten().tolist(),
+    }
+    result = {}
+
+    def client():
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        payload = json.dumps(msg).encode()
+        s.sendall(len(payload).to_bytes(4, "little") + payload)
+        img = b""
+        want = W * H * 3
+        while len(img) < want:
+            img += s.recv(want - len(img))
+        vlen = int.from_bytes(s.recv(4), "little")
+        verify = s.recv(vlen).decode()
+        result["img"] = img
+        result["verify"] = verify
+        s.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    deadline = 50
+    while not gui.try_connect() and deadline > 0:
+        deadline -= 1
+        import time as _t
+        _t.sleep(0.1)
+    assert gui.conn is not None
+    gui.poll_and_render(table, True, "srcpath")
+    t.join(timeout=20)
+    assert result.get("verify") == "srcpath"
+    assert len(result.get("img", b"")) == W * H * 3

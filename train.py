@@ -84,11 +84,22 @@ def main(argv=None):
         resolution=dataset.resolution,
         num_classes=args.num_classes,
     )
+    gui = None
+    if args.port > 0:
+        from segsplat_tpu.viewer import NetworkGUI
+        gui = NetworkGUI()
+        try:
+            gui.init(args.ip, args.port)
+            print(f"GUI server at {args.ip}:{args.port}")
+        except OSError as e:
+            print(f"[WARN] viewer port unavailable ({e}); GUI disabled")
+            gui = None
+
     print(f"Optimizing {dataset.model_path}")
     train(dataset.source_path, dataset.model_path, opt=opt, run=run,
           images=dataset.images, object_dir=dataset.object_path,
           eval_split=dataset.eval, capacity=args.capacity or None,
-          start_checkpoint=args.start_checkpoint)
+          start_checkpoint=args.start_checkpoint, gui=gui)
     print("\nTraining complete.")
 
 
