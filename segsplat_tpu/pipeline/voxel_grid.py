@@ -173,6 +173,10 @@ def build_voxel_grid(ply_path: str, cfg: GridFilterConfig,
         xyz, colors = xyz[m], colors[m]
         stats["after_density"] = len(xyz)
 
+    if len(xyz) == 0:
+        raise ValueError(
+            f"all gaussians filtered out ({stats}) — relax opacity_threshold/"
+            f"density_eps/density_min_neighbors")
     centers, vox_colors, origin, shape = quantize_to_grid(xyz, colors,
                                                           cfg.cell_size)
     if not advanced:

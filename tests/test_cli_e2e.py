@@ -123,3 +123,40 @@ def test_editing_cli(trained_scene, tmp_path):
                   "--out_iteration", "5"])
     out = os.path.join(model, "point_cloud", "iteration_5", "point_cloud.ply")
     assert os.path.exists(out)
+
+
+def test_run_pipeline_end_to_end(trained_scene, tmp_path):
+    """The one-command pipeline over the tiny trained scene (stub LSeg maps)."""
+    import json as _json
+
+    root, model = trained_scene["root"], trained_scene["model"]
+    rng = np.random.default_rng(3)
+    # stub 8-channel feature maps named after synthetic cameras + camera json
+    lseg = tmp_path / "lseg"
+    lseg.mkdir()
+    images, cams = {}, {"0": {"params": [20.0, 20.0, 16.0, 16.0]}}
+    with open(os.path.join(root, "transforms_train.json")) as f:
+        frames = _json.load(f)["frames"]
+    for i, fr in enumerate(frames):
+        c2w = np.array(fr["transform_matrix"])
+        c2w[:3, 1:3] *= -1
+        w2c = np.linalg.inv(c2w)
+        name = os.path.basename(fr["file_path"])
+        images[str(i)] = {"name": name + ".png", "camera_id": "0",
+                          "R": w2c[:3, :3].tolist(),
+                          "tvec": w2c[:3, 3].tolist()}
+        np.save(lseg / f"{name}.npy", rng.random((8, 16, 16)).astype(np.float16))
+    cam_json = str(tmp_path / "cams.json")
+    with open(cam_json, "w") as f:
+        _json.dump({"images": images, "cameras": cams}, f)
+
+    import run_pipeline
+    work = str(tmp_path / "work")
+    run_pipeline.main(["-s", root, "-m", model, "--iteration", "4",
+                       "--lseg_dir", str(lseg), "--camera_params", cam_json,
+                       "--prompt", "wall", "chair",
+                       "--cell_size", "0.3", "--density_eps", "0.8",
+                       "--density_min_neighbors", "1", "--work_dir", work,
+                       "--skip_render"])
+    assert os.path.exists(os.path.join(work, "gaussian_semantics.npz"))
+    assert os.path.exists(os.path.join(work, "gauss2voxel.npy"))
