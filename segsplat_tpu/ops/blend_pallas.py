@@ -64,29 +64,52 @@ def _blend_tile_kernel_dma(offs_ref, payload_hbm, bg_ref, img_ref, alpha_ref,
                            buf, sems, *, k_max: int, ch: int, tx_n: int,
                            g_block: int):
     """Variant that pulls each tile's contiguous depth-ordered payload run
-    straight out of HBM (offsets prefetched), double-buffered across grid steps
-    — no [T, K] window materialization at all."""
+    straight out of HBM (offsets prefetched), double-buffered across grid
+    steps — no [T, K] window materialization at all.
+
+    The window is DMA'd in g_block-row halves, and half h > 0 is issued ONLY
+    when the tile's run actually extends past h·g_block rows — the average
+    run is well under k_max, so demand-issued halves cut the kernel's HBM
+    read traffic roughly in half. All issued halves are awaited up front
+    (NOT per block: the body's saturation early-exit could otherwise leave an
+    issued DMA un-awaited, corrupting the semaphore for the slot's next
+    reuse); the block loop reads block h only under the same count condition,
+    so never-issued halves are never read."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     t = i * pl.num_programs(1) + j
     n_t = pl.num_programs(0) * pl.num_programs(1)
+    n_half = k_max // g_block
 
-    def dma(slot, tt):
-        start = offs_ref[tt]
+    def dma_half(slot, tt, h):
+        start = offs_ref[tt] + h * g_block
         return pltpu.make_async_copy(
-            payload_hbm.at[pl.ds(start, k_max), :], buf.at[slot], sems.at[slot])
+            payload_hbm.at[pl.ds(start, g_block), :],
+            buf.at[slot, pl.ds(h * g_block, g_block), :],
+            sems.at[slot, h])
+
+    def issue(slot, tt):
+        cnt = offs_ref[tt + 1] - offs_ref[tt]
+        for h in range(n_half):
+            @pl.when((h == 0) | (cnt > h * g_block))
+            def _():
+                dma_half(slot, tt, h).start()
 
     @pl.when(t == 0)
     def _():
-        dma(0, 0).start()
+        issue(0, 0)
 
     @pl.when(t + 1 < n_t)
     def _():
-        dma((t + 1) % 2, t + 1).start()
+        issue((t + 1) % 2, t + 1)
 
-    dma(t % 2, t).wait()
+    cnt_raw = offs_ref[t + 1] - offs_ref[t]
+    for h in range(n_half):
+        @pl.when((h == 0) | (cnt_raw > h * g_block))
+        def _():
+            dma_half(t % 2, t, h).wait()
 
-    count = jnp.minimum(offs_ref[t + 1] - offs_ref[t], k_max)
+    count = jnp.minimum(cnt_raw, k_max)
     _blend_body(count, buf.at[t % 2], bg_ref, img_ref, alpha_ref,
                 i=i, j=j, k_max=k_max, ch=ch, g_block=g_block)
 
@@ -190,7 +213,7 @@ def blend_tiles_pallas_dma(offsets: jax.Array,   # [T+1] int32 run starts (pairs
         ],
         scratch_shapes=[
             pltpu.VMEM((2, k_max, PAYLOAD_WIDTH), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, k_max // g_block)),
         ],
     )
     img, alpha = pl.pallas_call(

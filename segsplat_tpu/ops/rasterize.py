@@ -129,42 +129,18 @@ def project_gaussians(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
 
 
 def _bin_gaussians(proj: Projected, width: int, height: int,
-                   max_tiles_per_axis: int):
+                   max_tiles_per_axis: int,
+                   opacities: Optional[jax.Array] = None):
     """Depth-sort then emit (tile, gaussian) pairs over each Gaussian's tile AABB.
 
-    Returns (sorted_tile [N·M²] int32, sorted_gid [N·M²] int32, tile_offsets [T+1]).
+    Thin wrapper over _bin_gaussian_ranks (one shared binning implementation):
+    the sorted pair ranks are resolved to original Gaussian indices with one
+    int32 gather. Returns (sorted_gid [N·M²] int32, tile_offsets [T+1],
+    (tx_n, ty_n)).
     """
-    tx_n = -(-width // TILE)
-    ty_n = -(-height // TILE)
-    num_tiles = tx_n * ty_n
-    n = proj.means2d.shape[0]
-    m = max_tiles_per_axis
-
-    depth_key = jnp.where(proj.valid, proj.depths, jnp.inf)
-    order = jnp.argsort(depth_key)                                 # front-to-back
-    means2d = proj.means2d[order]
-    radii = proj.radii[order]
-    valid = proj.valid[order]
-
-    x0 = jnp.clip(jnp.floor((means2d[:, 0] - radii) / TILE), 0, tx_n - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((means2d[:, 1] - radii) / TILE), 0, ty_n - 1).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((means2d[:, 0] + radii) / TILE), 0, tx_n - 1).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((means2d[:, 1] + radii) / TILE), 0, ty_n - 1).astype(jnp.int32)
-
-    di = jnp.arange(m, dtype=jnp.int32)
-    txs = x0[:, None, None] + di[None, :, None]                    # [N, m, 1]
-    tys = y0[:, None, None] + di[None, None, :]                    # [N, 1, m]
-    in_rect = ((txs <= x1[:, None, None]) & (tys <= y1[:, None, None])
-               & valid[:, None, None])
-    tile_id = jnp.where(in_rect, tys * tx_n + txs, num_tiles)      # sentinel = T
-    tile_id = tile_id.reshape(n * m * m)
-    gid = jnp.broadcast_to(order[:, None, None], (n, m, m)).reshape(n * m * m)
-
-    # stable sort by tile keeps front-to-back depth order within each tile
-    sorted_tile, sorted_gid = jax.lax.sort(
-        (tile_id, gid), dimension=0, is_stable=True, num_keys=1)
-    offsets = jnp.searchsorted(sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32))
-    return sorted_tile, sorted_gid, offsets, (tx_n, ty_n)
+    order, rank_sorted, offsets, dims = _bin_gaussian_ranks(
+        proj, width, height, max_tiles_per_axis, opacities=opacities)
+    return order[rank_sorted], offsets, dims
 
 
 def _blend_tiles(sorted_gid, offsets, proj: Projected, colors, opacities,
@@ -236,17 +212,28 @@ def _blend_tiles(sorted_gid, offsets, proj: Projected, colors, opacities,
 
 
 def _bin_gaussian_ranks(proj: Projected, width: int, height: int,
-                        max_tiles_per_axis: int, pair_cap: Optional[int] = None):
-    """Binning for the Pallas blend path: depth-sort once, then sort (tile, rank)
-    pairs with a single PACKED uint32 key (tile ≪ rank_bits | depth_rank) when the
-    bit budget allows — unique keys make the sort stability-free and single-operand,
-    ~2× cheaper than the stable two-operand sort.
+                        max_tiles_per_axis: int,
+                        opacities: Optional[jax.Array] = None):
+    """Binning for both blend paths: depth-sort once, then sort (tile, rank)
+    pairs with a single PACKED uint32 key (tile ≪ rank_bits | depth_rank) when
+    the bit budget allows — unique keys make the sort stability-free and
+    single-operand, ~2× cheaper than the stable two-operand sort (the >32-bit
+    fallback sorts lexicographically on (tile, rank), which is
+    order-independent and therefore bit-identical).
 
-    ``pair_cap`` compacts the N·m² pair array (most slots are out-of-rect
-    sentinels) to a fixed budget with jnp.nonzero(size=cap) BEFORE the sort —
-    the sort/gather/window stages then scale with the cap instead of N·m².
-    On overflow the pairs of the deepest gaussians drop first (pairs are
-    depth-major); keep the cap generous (4·N covers radii ≲ 24 px everywhere).
+    Layout: per-pair arrays are built [m², N] (one row per AABB tile offset,
+    minor dim N) and flattened stream-major. TPU physical layout tiles the
+    minor two dims to (8, 128): the depth-major [N, m, m] formulation padded
+    every m×m tail to a full (8,128) tile — a ~100× physical blowup for m=3
+    that cost ~8 ms/frame at 1080p/200k (measured, scripts/perf_bin_dissect.py)
+    for what is ~0.3 ms of real work. Pair order doesn't matter: the sort key
+    carries the full (tile, rank) order.
+
+    NB a pre-sort jnp.nonzero(size=cap) compaction of the sentinel pairs was
+    measured 2× SLOWER end-to-end than sorting the padded array (nonzero's
+    cumsum+gather costs more than the sort work it saves); sentinels sort to
+    the tail, so consumers can instead slice the sorted array to a static cap
+    (see pair_cap in _blend_tiles_pallas).
 
     Returns (order [N] depth order, rank_sorted [L], offsets [T+1]).
     """
@@ -268,25 +255,38 @@ def _bin_gaussian_ranks(proj: Projected, width: int, height: int,
     y1 = jnp.clip(jnp.floor((means2d[:, 1] + radii) / TILE), 0, ty_n - 1).astype(jnp.int32)
 
     di = jnp.arange(m, dtype=jnp.int32)
-    txs = x0[:, None, None] + di[None, :, None]
-    tys = y0[:, None, None] + di[None, None, :]
-    in_rect = ((txs <= x1[:, None, None]) & (tys <= y1[:, None, None])
-               & valid[:, None, None])
-    tile_id = jnp.where(in_rect, tys * tx_n + txs, num_tiles)      # sentinel = T
-    rank = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None, None],
-                            (n, m, m))
-    tile_flat = tile_id.reshape(n * m * m)
-    rank_flat = rank.reshape(n * m * m)
+    dx = jnp.tile(di, m)                                           # [m²]
+    dy = jnp.repeat(di, m)
+    txs = x0[None, :] + dx[:, None]                                # [m², N]
+    tys = y0[None, :] + dy[:, None]
+    in_rect = ((txs <= x1[None, :]) & (tys <= y1[None, :]) & valid[None, :])
 
-    if pair_cap is not None and pair_cap < n * m * m:
-        (keep,) = jnp.nonzero(tile_flat < num_tiles, size=pair_cap,
-                              fill_value=n * m * m - 1)
-        # dropped-overflow slots point at the last pair; if it is valid they
-        # duplicate it — force them to the sentinel instead
-        n_valid = jnp.sum(tile_flat < num_tiles)
-        slot_ids = jnp.arange(pair_cap)
-        tile_flat = jnp.where(slot_ids < n_valid, tile_flat[keep], num_tiles)
-        rank_flat = jnp.where(slot_ids < n_valid, rank_flat[keep], 0)
+    if opacities is not None:
+        # opacity-aware tile culling — EXACT w.r.t. the blend's alpha ≥ 1/255
+        # cutoff: σ(p) ≥ ½·λmin(conic)·d(p)² with λmin ≥ 9/radius²
+        # (radius = ceil(3σ₁)), so a tile whose pixel-center rect is farther
+        # than d² > 2·ln(255·op)·r²/9 from the mean can only produce
+        # α < 1/255 — pairs the blend would discard pixel-by-pixel anyway.
+        # Cuts AABB corner tiles; biggest win for large/transparent splats.
+        op_s = opacities[order]
+        ln_cut = jnp.log(jnp.maximum(255.0 * jnp.minimum(op_s, 0.999), 1e-12))
+        d2_max = (2.0 / 9.0) * ln_cut * radii * radii + 1e-3       # [N]
+        # +1e-3 margin keeps borderline pairs (float rounding must never cull
+        # a pair whose true max alpha reaches the 1/255 cutoff)
+        rx0 = txs.astype(jnp.float32) * TILE + 0.5                 # pixel-center
+        ry0 = tys.astype(jnp.float32) * TILE + 0.5                 # rect bounds
+        ddx = jnp.maximum(jnp.maximum(rx0 - means2d[None, :, 0],
+                                      means2d[None, :, 0] - (rx0 + TILE - 1.0)),
+                          0.0)
+        ddy = jnp.maximum(jnp.maximum(ry0 - means2d[None, :, 1],
+                                      means2d[None, :, 1] - (ry0 + TILE - 1.0)),
+                          0.0)
+        in_rect = in_rect & (ddx * ddx + ddy * ddy <= d2_max[None, :])
+
+    tile_id = jnp.where(in_rect, tys * tx_n + txs, num_tiles)      # sentinel = T
+    tile_flat = tile_id.reshape(m * m * n)
+    rank_flat = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
+                                 (m * m, n)).reshape(m * m * n)
 
     rank_bits = max(int(math.ceil(math.log2(max(n, 2)))), 1)
     tile_bits = max(int(math.ceil(math.log2(num_tiles + 2))), 1)
@@ -298,7 +298,7 @@ def _bin_gaussian_ranks(proj: Projected, width: int, height: int,
         offsets = jnp.searchsorted(skey, probes).astype(jnp.int32)
     else:
         stile, rank_sorted = jax.lax.sort((tile_flat, rank_flat), dimension=0,
-                                          is_stable=True, num_keys=1)
+                                          num_keys=2)
         offsets = jnp.searchsorted(
             stile, jnp.arange(num_tiles + 1, dtype=jnp.int32)).astype(jnp.int32)
     return order, rank_sorted, offsets, (tx_n, ty_n)
@@ -306,20 +306,27 @@ def _bin_gaussian_ranks(proj: Projected, width: int, height: int,
 
 def _blend_tiles_pallas(proj: Projected, colors, opacities, bg,
                         width: int, height: int, max_tiles_per_axis: int,
-                        max_per_tile: int):
+                        max_per_tile: int, pair_cap: Optional[int] = None):
     """Pallas blend path: fused per-Gaussian payload, sorted into per-tile
     contiguous depth-ordered runs (two coalesced row gathers — measured 10×
     faster than per-field or per-element gathers), blended by the DMA kernel
-    (ops/blend_pallas.py) with no [T, K] window materialization."""
+    (ops/blend_pallas.py) with no [T, K] window materialization.
+
+    ``pair_cap`` statically truncates the SORTED pair list before the payload
+    gather: out-of-rect sentinel pairs sort to the tail, so any cap ≥ the
+    frame's real pair count is exact while the payload gather (the binning
+    stage's bandwidth cost) scales with the cap instead of N·m². On overflow
+    the deepest runs of the highest tile ids are dropped (offsets are clamped,
+    so reads stay in bounds)."""
     from segsplat_tpu.ops.blend_pallas import (GEOM, PAYLOAD_WIDTH,
                                                blend_tiles_pallas_dma)
 
     K = max_per_tile
-    # NB pair_cap compaction (jnp.nonzero(size)) measured 2× SLOWER end-to-end
-    # on TPU than sorting the padded pair array — nonzero's cumsum+gather costs
-    # more than the sort work it saves; keep the padded path
     order, rank_sorted, offsets, (tx_n, ty_n) = _bin_gaussian_ranks(
-        proj, width, height, max_tiles_per_axis, pair_cap=None)
+        proj, width, height, max_tiles_per_axis, opacities=opacities)
+    if pair_cap is not None and pair_cap < rank_sorted.shape[0]:
+        rank_sorted = rank_sorted[:pair_cap]
+        offsets = jnp.minimum(offsets, pair_cap)
 
     n = colors.shape[0]
     CHp = colors.shape[1]
@@ -358,7 +365,8 @@ def _blend_tiles_pallas(proj: Projected, colors, opacities, bg,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_tiles_per_axis",
-                                   "max_per_tile", "tile_chunk", "backend"))
+                                   "max_per_tile", "tile_chunk", "backend",
+                                   "pair_cap"))
 def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
               opacities: jax.Array, colors: jax.Array,
               viewmat: jax.Array, fx, fy, cx, cy,
@@ -367,6 +375,7 @@ def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
               means2d_offset: Optional[jax.Array] = None,
               max_tiles_per_axis: int = 8, max_per_tile: int = 512,
               tile_chunk: int = 64, backend: str = "xla",
+              pair_cap: Optional[int] = None,
               tan_fovx: Optional[jax.Array] = None,
               tan_fovy: Optional[jax.Array] = None):
     """Full differentiable forward: project → bin → blend.
@@ -377,8 +386,14 @@ def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
     densification heuristic consumes (the reference's ``screenspace_points`` trick,
     gaussian_renderer/__init__.py:26-30).
 
-    backend: "xla" (differentiable, any platform) or "pallas" (fused TPU kernel,
-    forward-only — the inference/FPS path; requires max_per_tile % 128 == 0).
+    backend: "xla" (differentiable, any platform) or "pallas" (fused TPU
+    kernel, differentiable via the custom-VJP blend in ops/blend_pallas_vjp —
+    the default TRAINING and inference path on TPU; requires
+    max_per_tile % 128 == 0). Both backends share the caveat that the binning
+    structure (tile membership, depth order, K cap) carries no gradient.
+    pair_cap (pallas only): static post-sort truncation of the pair list —
+    exact whenever it covers the frame's real pair count; see
+    _blend_tiles_pallas.
 
     Returns dict: image [H,W,CH], alpha [H,W], radii [N], visible [N] bool,
     depths [N].
@@ -393,10 +408,10 @@ def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
     if backend == "pallas":
         img, alpha = _blend_tiles_pallas(proj, colors, opacities, bg,
                                          width, height, max_tiles_per_axis,
-                                         max_per_tile)
+                                         max_per_tile, pair_cap=pair_cap)
     else:
-        sorted_tile, sorted_gid, offsets, (tx_n, ty_n) = _bin_gaussians(
-            proj, width, height, max_tiles_per_axis)
+        sorted_gid, offsets, (tx_n, ty_n) = _bin_gaussians(
+            proj, width, height, max_tiles_per_axis, opacities=opacities)
         img, alpha = _blend_tiles(sorted_gid, offsets, proj, colors, opacities,
                                   bg, tx_n, ty_n, max_per_tile, tile_chunk)
     return {
