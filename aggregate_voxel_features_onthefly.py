@@ -33,6 +33,9 @@ def main(argv=None):
     p.add_argument("--method", default="splat", choices=["splat", "dda"],
                    help="splat = fast voxel-splatting first hit; dda = exact "
                         "CUDA-kernel transcription")
+    p.add_argument("--mesh_view", type=int, default=0,
+                   help="shard each view chunk over N devices (0 = all "
+                        "available if >1, 1 = force single-device)")
     args = p.parse_args(argv)
 
     cfg = LiftConfig(depth_min=args.depth_min, depth_max=args.depth_max,
@@ -40,11 +43,22 @@ def main(argv=None):
                      max_views=args.max_views,
                      checkpoint_every=args.checkpoint_every,
                      view_chunk=args.view_chunk, method=args.method)
+    mesh = None
+    n_view = args.mesh_view
+    if n_view == 0:
+        import jax
+        n_view = len(jax.devices())
+    if n_view > 1:
+        from segsplat_tpu.parallel.mesh import make_mesh
+        import jax
+        mesh = make_mesh(n_view=n_view, n_tensor=1,
+                         devices=jax.devices()[:n_view])
+        print(f"[INFO] sharding view chunks over {n_view} devices")
     out = aggregate_voxel_features(args.voxel_ply, args.lseg_dir,
                                    args.camera_params, args.out_dir, cfg,
                                    image_size=(tuple(args.image_size)
                                                if args.image_size else None),
-                                   first_only=args.first_only)
+                                   mesh=mesh, first_only=args.first_only)
     print(f"[DONE] {out['views_per_sec']:.2f} views/s")
 
 

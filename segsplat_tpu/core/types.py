@@ -178,14 +178,15 @@ class Camera:
         voxel_to_gaussian/render_semantics_logits.py:76-88)."""
         fx = self.width / (2.0 * jnp.tan(self.fov_x * 0.5))
         fy = self.height / (2.0 * jnp.tan(self.fov_y * 0.5))
-        return jnp.array(
-            [
-                [fx, 0.0, self.width / 2.0],
-                [0.0, fy, self.height / 2.0],
-                [0.0, 0.0, 1.0],
-            ],
-            jnp.float32,
-        )
+        # built with scalar .at[].set()s: a nested-list jnp.array mixing
+        # tracers with the concrete [0,0,1] row captures that row as a lifted
+        # executable constant, which jax 0.9 loses on the second call of a
+        # second same-process sharded program ("Execution supplied 47 buffers
+        # but compiled program expected 49")
+        K = jnp.zeros((3, 3), jnp.float32)
+        K = K.at[0, 0].set(fx).at[1, 1].set(fy).at[2, 2].set(1.0)
+        K = K.at[0, 2].set(self.width / 2.0).at[1, 2].set(self.height / 2.0)
+        return K
 
 
 def stack_cameras(cams) -> Camera:

@@ -47,6 +47,13 @@ def make_parallel_train_step(cfg: OptimizationConfig, optimizers, mesh: Mesh,
     """
     gauss_opt, cls_opt = optimizers
     raster_kw = raster_kw or {}
+    # a second, nearly-identical sharded step in one process can collide with
+    # the first program's cached executable ("Execution supplied N buffers
+    # but compiled program expected N+2" — the hoisted-constant pitfall of
+    # trainer.cached_train_step, which memoization can't cover here because
+    # the mesh differs); building a parallel step is a once-per-run event, so
+    # drop stale executables instead
+    jax.clear_caches()
 
     def shard_logits(x):
         # [NUM_CODEBOOK, ...] per view (inside vmap): split the codebook axis
@@ -62,7 +69,14 @@ def make_parallel_train_step(cfg: OptimizationConfig, optimizers, mesh: Mesh,
         return compute_losses(t, code_book, camera, gt_image, gt_obj, bg, rng,
                               cfg, offset, raster_kw, shard_logits=shard_logits)
 
-    @partial(jax.jit, donate_argnums=(0,))
+    # donation is disabled on the CPU backend: constant-folded outputs there
+    # can alias the executable's lifted constants, and donating them back on
+    # the next call drops the constants from the supplied buffers ("Execution
+    # supplied N buffers but compiled program expected N+2"). TPU keeps
+    # donation (in-place state updates matter at scene scale).
+    donate = (0,) if jax.default_backend() != "cpu" else ()
+
+    @partial(jax.jit, donate_argnums=donate)
     def train_step(state: TrainState, cameras: Camera, gt_images: jax.Array,
                    gt_objs: jax.Array, bg: jax.Array, rngs: jax.Array):
         params = table_params(state.table)
@@ -109,5 +123,10 @@ def make_parallel_train_step(cfg: OptimizationConfig, optimizers, mesh: Mesh,
                 jax.device_put(gt_objs, batch_sh), jax.device_put(rngs, batch_sh))
 
     train_step.place_batch = place_batch
-    train_step.replicate = lambda state: jax.device_put(state, repl)
+    # materialize fresh unaliased buffers before replicating: deduped/shared
+    # leaves (zero-init optimizer moments, stats) break the donated step's
+    # buffer-count contract ("Execution supplied N buffers but compiled
+    # program expected N+2") — same pitfall as trainer.load_checkpoint
+    train_step.replicate = lambda state: jax.device_put(
+        jax.tree.map(jnp.array, state), repl)
     return train_step

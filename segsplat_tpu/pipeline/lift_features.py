@@ -118,7 +118,10 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
                              image_size: Optional[Tuple[int, int]] = None,
                              mesh=None, first_only: bool = False) -> dict:
     """Run the full multi-view lift; writes checkpoints + final artifacts into
-    ``out_dir``. Returns {"sums", "counts", "grid", "views_per_sec"}."""
+    ``out_dir``. With ``mesh`` (a (view, tensor) jax.sharding.Mesh of >1
+    device) each view chunk is sharded over the mesh's view axis and the voxel
+    accumulators psum-merge over ICI. Returns {"sums", "counts", "grid",
+    "views_per_sec", "artifact" (final .pt path)}."""
     import jax
     import jax.numpy as jnp
 
@@ -164,35 +167,69 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
     fx = float(np.median(intr[:, 0])) if len(intr) else 1.0
     steps = default_max_steps(W, H, fx, fx, cfg.depth_min, cfg.depth_max, inc)
 
-    @partial(jax.jit, static_argnames=())
-    def lift_chunk(feats_raw, c2w_chunk, intr_chunk, sums, counts):
-        """feats_raw [B, C, h, w] → resize to [H, W] → lift each view."""
-        def one(carry, view):
-            s, c = carry
-            fmap, c2w, K = view
-            fmap = jax.image.resize(fmap.astype(jnp.float32), (C, H, W),
-                                    method="bilinear")
-            fmap = jnp.transpose(fmap, (1, 2, 0))
-            if cfg.method == "splat":
-                hits = first_hit_voxels_splat(
-                    snap_centers, snap_ids, c2w, K,
-                    jnp.asarray(vs, jnp.float32), cfg.depth_min, cfg.depth_max,
-                    jnp.asarray(inc, jnp.float32), W, H,
-                    max_tiles_per_axis=cfg.splat_max_tiles_per_axis,
-                    max_per_tile=cfg.splat_max_per_tile)
-            else:
-                hits = first_hit_voxels(occ, c2w, K,
-                                        jnp.asarray(occ_origin, jnp.float32),
-                                        jnp.asarray(vs, jnp.float32),
-                                        cfg.depth_min, cfg.depth_max,
-                                        jnp.asarray(inc, jnp.float32),
-                                        W, H, steps)
-            ds, dc = scatter_features(fmap, hits, num_ids)
-            return (s + ds, c + dc), None
+    def one(carry, view):
+        s, c = carry
+        fmap, c2w, K = view
+        fmap = jax.image.resize(fmap.astype(jnp.float32), (C, H, W),
+                                method="bilinear")
+        fmap = jnp.transpose(fmap, (1, 2, 0))
+        if cfg.method == "splat":
+            hits = first_hit_voxels_splat(
+                snap_centers, snap_ids, c2w, K,
+                jnp.asarray(vs, jnp.float32), cfg.depth_min, cfg.depth_max,
+                jnp.asarray(inc, jnp.float32), W, H,
+                max_tiles_per_axis=cfg.splat_max_tiles_per_axis,
+                max_per_tile=cfg.splat_max_per_tile)
+        else:
+            hits = first_hit_voxels(occ, c2w, K,
+                                    jnp.asarray(occ_origin, jnp.float32),
+                                    jnp.asarray(vs, jnp.float32),
+                                    cfg.depth_min, cfg.depth_max,
+                                    jnp.asarray(inc, jnp.float32),
+                                    W, H, steps)
+        ds, dc = scatter_features(fmap, hits, num_ids)
+        return (s + ds, c + dc), None
 
-        (sums, counts), _ = jax.lax.scan(one, (sums, counts),
-                                         (feats_raw, c2w_chunk, intr_chunk))
-        return sums, counts
+    if mesh is not None and mesh.devices.size > 1:
+        # SPMD: shard each view chunk over the mesh's view axis; every chip
+        # ray-marches + scatters its slice, one psum over ICI merges the
+        # per-chip voxel partials (same layout as parallel/lift.py).
+        from jax.sharding import PartitionSpec as P
+        from segsplat_tpu.parallel.mesh import TENSOR_AXIS, VIEW_AXIS
+        assert mesh.shape.get(TENSOR_AXIS, 1) == 1, (
+            "pipeline lift shards the view axis; use parallel.lift."
+            "lift_views_sharded directly for channel (tensor) sharding")
+        n_view = mesh.shape[VIEW_AXIS]
+        if cfg.view_chunk % n_view != 0:
+            cfg = dataclasses.replace(
+                cfg, view_chunk=-(-cfg.view_chunk // n_view) * n_view)
+            print(f"[INFO] view_chunk rounded up to {cfg.view_chunk} "
+                  f"(multiple of mesh view={n_view})")
+
+        @jax.jit
+        def lift_chunk(feats_raw, c2w_chunk, intr_chunk, sums, counts):
+            @partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS)),
+                out_specs=(P(), P()))
+            def run(feats_l, c2w_l, intr_l):
+                init = (jax.lax.pcast(jnp.zeros((num_ids, C), jnp.float32),
+                                      (VIEW_AXIS,), to="varying"),
+                        jax.lax.pcast(jnp.zeros((num_ids,), jnp.int32),
+                                      (VIEW_AXIS,), to="varying"))
+                (s, c), _ = jax.lax.scan(one, init, (feats_l, c2w_l, intr_l))
+                return (jax.lax.psum(s, VIEW_AXIS),
+                        jax.lax.psum(c, VIEW_AXIS))
+
+            ds, dc = run(feats_raw, c2w_chunk, intr_chunk)
+            return sums + ds, counts + dc
+    else:
+        @partial(jax.jit, static_argnames=())
+        def lift_chunk(feats_raw, c2w_chunk, intr_chunk, sums, counts):
+            """feats_raw [B, C, h, w] → resize to [H, W] → lift each view."""
+            (sums, counts), _ = jax.lax.scan(one, (sums, counts),
+                                             (feats_raw, c2w_chunk, intr_chunk))
+            return sums, counts
 
     sums = jnp.zeros((num_ids, C), jnp.float32)
     counts = jnp.zeros((num_ids,), jnp.int32)
@@ -217,13 +254,14 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
         done += nb
         if cfg.checkpoint_every and (done % cfg.checkpoint_every == 0
                                      or done == len(files)):
-            _write_artifacts(out_dir, done, sums, counts, centers, grid, vs,
-                             final=(done == len(files)))
+            artifact = _write_artifacts(out_dir, done, sums, counts, centers,
+                                        grid, vs, final=(done == len(files)))
     jax.block_until_ready(sums)
     dt = time.perf_counter() - t0
     vps = done / dt if dt > 0 else float("inf")
     print(f"[INFO] lifted {done} views in {dt:.2f}s = {vps:.2f} views/s")
-    return {"sums": sums, "counts": counts, "grid": grid, "views_per_sec": vps}
+    return {"sums": sums, "counts": counts, "grid": grid, "views_per_sec": vps,
+            "artifact": artifact}
 
 
 def _write_artifacts(out_dir, done, sums, counts, centers, grid, vs, final):
@@ -236,7 +274,8 @@ def _write_artifacts(out_dir, done, sums, counts, centers, grid, vs, final):
     mean[nz] = s[nz] / c[nz, None]
     coords = np.asarray(grid.coords)
     tag = "ALL_nonzero_voxel_features" if final else f"checkpoint_{done}img"
-    save_voxel_features(os.path.join(out_dir, f"{tag}_{int(nz.sum())}vox.pt"),
+    pt_path = os.path.join(out_dir, f"{tag}_{int(nz.sum())}vox.pt")
+    save_voxel_features(pt_path,
                         xyz=centers[nz], avg_feats=mean[nz],
                         voxel_coords=coords[nz][:, ::-1])  # (z,y,x) like the ref
     # hit-count visualization PLY (aggregate…onthefly.py:339-377)
@@ -246,3 +285,4 @@ def _write_artifacts(out_dir, done, sums, counts, centers, grid, vs, final):
     write_voxel_grid_ply(os.path.join(out_dir, f"{tag}_hitcounts.ply"),
                          centers, cols, float(vs),
                          np.asarray(grid.origin), grid_shape=None)
+    return pt_path

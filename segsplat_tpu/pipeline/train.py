@@ -19,8 +19,13 @@ this module orchestrates the host-side schedule around it:
   * metrics stream to ``metrics.jsonl`` (the reference hard-enables wandb
     :569-574; we log locally and attach wandb only if importable+configured).
 
-Multi-view data-parallel training (parallel/train.py) activates when the mesh
-has more than one device and ``view_batch`` > 1.
+Multi-view data-parallel training: with ``TrainRunConfig.view_batch`` B > 1,
+each iteration renders B distinct views through
+parallel/train.make_parallel_train_step over a (view, tensor) device mesh
+(view axis = all divisible devices by default) — gradients psum over ICI and
+losses average over the batch, so one step approximates B reference
+iterations with a B×-larger effective batch. ``view_batch=1`` keeps the
+reference's exact one-view-per-iteration semantics on a single chip.
 """
 
 from __future__ import annotations
@@ -59,6 +64,10 @@ class TrainRunConfig:
     raster_tile_chunk: int = 64
     raster_backend: str = "auto"   # auto → pallas custom-VJP kernel on TPU,
     #                                differentiable XLA blend elsewhere
+    view_batch: int = 1            # views per iteration; >1 → SPMD data-parallel
+    mesh_tensor: int = 1           # tensor-axis size for the codebook sharding
+    mesh_view: int = 0             # view-axis size (0 = auto: largest device
+    #                                count dividing view_batch)
 
 
 def train(source_path: str, model_path: str,
@@ -91,6 +100,22 @@ def train(source_path: str, model_path: str,
     state, _ = init_state(table, opt, spatial_lr_scale=scene.cameras_extent,
                           seed=run.seed, optimizers=optimizers)
 
+    parallel_step = None
+    if run.view_batch > 1:
+        from segsplat_tpu.parallel.mesh import make_mesh
+        from segsplat_tpu.parallel.train import make_parallel_train_step
+        n_dev = len(jax.devices()) // run.mesh_tensor
+        # largest device count that divides the view batch
+        n_view = run.mesh_view or next(
+            d for d in range(n_dev, 0, -1) if run.view_batch % d == 0)
+        mesh = make_mesh(n_view=n_view, n_tensor=run.mesh_tensor,
+                         devices=jax.devices()[:n_view * run.mesh_tensor])
+        parallel_step = make_parallel_train_step(opt, optimizers, mesh,
+                                                 raster_kw)
+        state = parallel_step.replicate(state)
+        print(f"[INFO] data-parallel training: view_batch={run.view_batch} "
+              f"over mesh view={n_view} tensor={run.mesh_tensor}")
+
     if start_checkpoint:
         state = load_checkpoint(start_checkpoint, state)
         print(f"[INFO] resumed from {start_checkpoint} at step {int(state.step)}")
@@ -110,7 +135,17 @@ def train(source_path: str, model_path: str,
                        else np.zeros(img.shape[:2], np.int32))
         device_cams.append(to_device_camera(c, scale))
 
+    if parallel_step is not None and len({g.shape for g in gt_images}) > 1:
+        print("[WARN] view_batch>1 requires uniform camera resolutions; "
+              "falling back to single-view steps")
+        parallel_step = None
+
     bg = jnp.ones((3,)) if run.white_background else jnp.zeros((3,))
+    if parallel_step is not None:
+        # commit bg replicated: left uncommitted, GSPMD may choose a padded
+        # view-partition of the 3-vector that the second call's argument
+        # resharding path cannot represent (mesh-divisibility ValueError)
+        bg = parallel_step.replicate(bg)
     key = jax.random.PRNGKey(run.seed)
     rng_np = np.random.default_rng(run.seed)
 
@@ -121,13 +156,17 @@ def train(source_path: str, model_path: str,
     cursor = 0
     t_start = time.perf_counter()
 
+    batch_views = run.view_batch if parallel_step is not None else 1
     first_iter = int(state.step)
     for it in range(first_iter + 1, run.iterations + 1):
-        if cursor >= len(order):
-            order = rng_np.permutation(len(cams))
-            cursor = 0
-        ci = int(order[cursor])
-        cursor += 1
+        cis = []
+        for _ in range(batch_views):
+            if cursor >= len(order):
+                order = rng_np.permutation(len(cams))
+                cursor = 0
+            cis.append(int(order[cursor]))
+            cursor += 1
+        ci = cis[0]
 
         if gui is not None:
             # SIBR viewer poll (train_unified_lift.py:319-332)
@@ -137,9 +176,19 @@ def train(source_path: str, model_path: str,
             state = state._replace(table=one_up_sh_degree(state.table))
 
         key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, device_cams[ci],
-                                 jnp.asarray(gt_images[ci]),
-                                 jnp.asarray(gt_objs[ci]), bg, sub)
+        if parallel_step is not None:
+            from segsplat_tpu.core.types import stack_cameras
+            cams_b = stack_cameras([device_cams[i] for i in cis])
+            gti = jnp.asarray(np.stack([gt_images[i] for i in cis]))
+            gto = jnp.asarray(np.stack([gt_objs[i] for i in cis]))
+            rngs = jax.random.split(sub, len(cis))
+            cams_b, gti, gto, rngs = parallel_step.place_batch(
+                cams_b, gti, gto, rngs)
+            state, metrics = parallel_step(state, cams_b, gti, gto, bg, rngs)
+        else:
+            state, metrics = step_fn(state, device_cams[ci],
+                                     jnp.asarray(gt_images[ci]),
+                                     jnp.asarray(gt_objs[ci]), bg, sub)
 
         # densification schedule (train_unified_lift.py:462-477)
         if (opt.densify_from_iter <= it <= opt.densify_until_iter
@@ -153,6 +202,8 @@ def train(source_path: str, model_path: str,
                                        state.table.capacity)
             state = state._replace(table=new_table, opt_state=opt_state,
                                    stats=stats)
+            if parallel_step is not None:   # restore replicated placement
+                state = parallel_step.replicate(state)
             if int(overflow) > 0:
                 print(f"[WARN] densify overflow: {int(overflow)} children "
                       f"dropped (capacity {state.table.capacity})")
@@ -163,12 +214,26 @@ def train(source_path: str, model_path: str,
             opt_state = zero_adam_rows(state.opt_state, changed,
                                        state.table.capacity)
             state = state._replace(table=new_table, opt_state=opt_state)
+            if parallel_step is not None:
+                state = parallel_step.replicate(state)
 
         if it % run.log_every == 0:
             rec = {"iter": it,
                    **{k: float(v) for k, v in metrics.items()},
                    "num_gaussians": int(np.asarray(state.table.active).sum()),
                    "elapsed_s": time.perf_counter() - t_start}
+            # fail-fast numerics guard (SURVEY §5.2 — the TPU equivalent of the
+            # reference's _DEBUG sync-and-check): a non-finite loss aborts with
+            # the full loss breakdown instead of silently corrupting the table
+            bad = [k for k, v in rec.items()
+                   if isinstance(v, float) and not np.isfinite(v)]
+            if bad:
+                metrics_f.write(json.dumps({**rec, "error": "non-finite"})
+                                + "\n")
+                metrics_f.flush()
+                raise FloatingPointError(
+                    f"non-finite loss at iteration {it}: {bad}; "
+                    f"breakdown: {rec}")
             metrics_f.write(json.dumps(rec) + "\n")
             metrics_f.flush()
             if wandb_run is not None:
@@ -215,25 +280,33 @@ def _maybe_init_wandb(model_path: str):
         return None
 
 
-def _evaluate(table, scene, scale, bg, raster_kw, it, max_views: int = 5) -> dict:
-    """Test-time PSNR over held-out (or a train subset of) views — the
-    reference's training_report (train_unified_lift.py test_iterations)."""
-    import jax.numpy as jnp
-
+def _evaluate(table, scene, scale, bg, raster_kw, it,
+              max_views: Optional[int] = None) -> dict:
+    """Test-time L1 + PSNR over the FULL held-out split (or a small train
+    subset when no test split exists) — the reference's training_report
+    (train_unified_lift.py test_iterations evaluates both fixed camera sets
+    with l1_loss and psnr)."""
     from segsplat_tpu.eval.metrics import psnr_np
     from segsplat_tpu.render import render
     from segsplat_tpu.scene import to_device_camera
 
-    cams = scene.get_test_cameras() or scene.get_train_cameras()[:max_views]
-    cams = cams[:max_views]
-    psnrs = []
+    cams = scene.get_test_cameras()
+    split = "test"
+    if not cams:
+        cams = scene.get_train_cameras()[:max_views or 5]
+        split = "train"
+    if max_views:
+        cams = cams[:max_views]
+    psnrs, l1s = [], []
     for c in cams:
         out = render(table, to_device_camera(c, scale), bg, **raster_kw)
         img = np.clip(np.asarray(out["render"]), 0, 1)
         gt = np.transpose(c.load_image(scale), (2, 0, 1))
         psnrs.append(psnr_np(img, gt))
-    return {"iter": it, "eval_psnr": float(np.mean(psnrs)),
-            "eval_views": len(cams)}
+        l1s.append(float(np.abs(img - gt).mean()))
+    return {"iter": it, "eval_split": split,
+            "eval_psnr": float(np.mean(psnrs)),
+            "eval_l1": float(np.mean(l1s)), "eval_views": len(cams)}
 
 
 # ───────────────────────── checkpointing (orbax) ─────────────────────────

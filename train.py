@@ -39,6 +39,11 @@ def main(argv=None):
     parser.add_argument("--use_wandb", action="store_true")
     parser.add_argument("--num_classes", type=int, default=256)
     parser.add_argument("--capacity", type=int, default=0)
+    parser.add_argument("--view_batch", type=int, default=1,
+                        help="views per iteration; >1 shards the batch over "
+                             "all devices (SPMD data parallelism)")
+    parser.add_argument("--mesh_tensor", type=int, default=1,
+                        help="tensor-parallel mesh axis for the codebook")
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
 
@@ -83,6 +88,8 @@ def main(argv=None):
         white_background=dataset.white_background,
         resolution=dataset.resolution,
         num_classes=args.num_classes,
+        view_batch=args.view_batch,
+        mesh_tensor=args.mesh_tensor,
     )
     gui = None
     if args.port > 0:
