@@ -35,12 +35,12 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask):
-        y = nn.LayerNorm(name="ln_1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, qkv_features=self.width, name="attn",
             deterministic=True)(y, y, mask=mask)
         x = x + y
-        y = nn.LayerNorm(name="ln_2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         y = nn.Dense(self.width * 4, name="mlp_fc")(y)
         y = QuickGELU()(y)
         y = nn.Dense(self.width, name="mlp_proj")(y)
@@ -69,7 +69,7 @@ class ClipTextEncoder(nn.Module):
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, self.heads,
                                        name=f"resblock_{i}")(x, causal)
-        x = nn.LayerNorm(name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
         # features at the EOT token (highest token id position, CLIP convention)
         eot = jnp.argmax(tokens, axis=1)
         x = x[jnp.arange(tokens.shape[0]), eot]

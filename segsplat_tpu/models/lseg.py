@@ -41,7 +41,8 @@ class MlpBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        # exact (erf) GELU — timm ViT / DPT use torch nn.GELU, not tanh approx
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
 
@@ -148,7 +149,7 @@ class LSegNet(nn.Module):
             merged = jnp.concatenate(
                 [patches, jnp.broadcast_to(cls_t, patches.shape)], axis=-1)
             proj = nn.Dense(self.width, dtype=dt, name=f"readout_{t}")(merged)
-            proj = nn.gelu(proj)
+            proj = nn.gelu(proj, approximate=False)
             fmap = proj.reshape(B, gh, gw, self.width)
             fmap = nn.Conv(rdim, (1, 1), dtype=dt, name=f"reassemble_{t}")(fmap)
             if t == 0:      # ×4
@@ -232,7 +233,8 @@ def convert_lseg_checkpoint(state_dict) -> Dict[str, Any]:
     width = p["pos_embed"].shape[-1]
     heads = width // 64
     hd = 64
-    depth = max(int(k.split(".")[2]) for k in sd if k.startswith(pre + "blocks.")) + 1
+    depth = max(int(k[len(pre + "blocks."):].split(".")[0])
+                for k in sd if k.startswith(pre + "blocks.")) + 1
     for i in range(depth):
         b = f"{pre}blocks.{i}."
         qkv_w = sd[b + "attn.qkv.weight"]; qkv_b = sd[b + "attn.qkv.bias"]
