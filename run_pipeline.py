@@ -36,6 +36,12 @@ def main(argv=None):
     p.add_argument("--work_dir", default="")
     p.add_argument("--max_views", type=int, default=216)
     p.add_argument("--skip_render", action="store_true")
+    p.add_argument("--parity_dir", default="",
+                   help="directory of reference-produced artifacts "
+                        "(ALL_nonzero_voxel_features*.pt, "
+                        "gaussian_semantics*.npz, grid_*.ply) to diff this "
+                        "run's outputs against via eval/parity.py; a failed "
+                        "diff exits nonzero")
     args = p.parse_args(argv)
 
     from segsplat_tpu.pipeline.lift_features import LiftConfig, aggregate_voxel_features
@@ -66,9 +72,10 @@ def main(argv=None):
     lift = aggregate_voxel_features(
         grid_ply, args.lseg_dir, args.camera_params, work,
         LiftConfig(max_views=args.max_views))
-    vox_pt = sorted(f for f in os.listdir(work)
-                    if f.startswith("ALL_nonzero") and f.endswith(".pt"))[-1]
-    vox_pt = os.path.join(work, vox_pt)
+    # use the path the lift stage reports — a lexicographic glob over the
+    # work_dir can pick up a stale artifact from a previous run with
+    # different grid parameters (the filename embeds the voxel count)
+    vox_pt = lift["artifact"]
 
     print("[3/5] gaussian centers + 1-NN map")
     mu = os.path.join(work, "gaussian_mu.npy")
@@ -86,7 +93,48 @@ def main(argv=None):
         rsl.main(["--model_path", args.model_path, "--source_path",
                   args.source_path, "--iteration", str(it),
                   "--semantics", sem, "--skip_test"])
+
+    if args.parity_dir:
+        if not _check_parity(args.parity_dir, vox_pt, sem, grid_ply):
+            raise SystemExit("[PARITY] FAILED — see report above")
     print(f"[DONE] artifacts in {work}")
+
+
+def _check_parity(parity_dir: str, vox_pt: str, sem: str,
+                  grid_ply: str) -> bool:
+    """Diff this run's stage artifacts against same-kind reference artifacts
+    in ``parity_dir`` (BASELINE.md bit-closeness target)."""
+    import glob
+
+    from segsplat_tpu.eval import parity
+
+    def find(*patterns):
+        for pat in patterns:
+            hits = sorted(glob.glob(os.path.join(parity_dir, pat)))
+            if hits:
+                return hits[-1]
+        return None
+
+    checks = [
+        ("voxel_features", vox_pt,
+         find("ALL_nonzero*voxel_features*.pt", "*voxel_features*.pt",
+              "*voxel_features*.npz"), parity.compare_voxel_features),
+        ("semantics", sem, find("gaussian_semantics*.npz", "*semantics*.npz"),
+         parity.compare_semantics),
+        ("voxel_grid", grid_ply, find("grid_*.ply", "*grid*.ply"),
+         parity.compare_voxel_grids),
+    ]
+    ok = True
+    for kind, ours, theirs, fn in checks:
+        if theirs is None:
+            print(f"[PARITY] {kind}: no reference artifact in {parity_dir}, "
+                  f"skipped")
+            continue
+        print(f"[PARITY] {kind}: {ours} vs {theirs}")
+        for r in fn(ours, theirs):
+            print("  " + r.line())
+            ok &= r.ok
+    return ok
 
 
 if __name__ == "__main__":
