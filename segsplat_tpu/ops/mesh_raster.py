@@ -1,0 +1,185 @@
+"""Z-buffered triangle-mesh label rasterization — the ScanNet++ GT renderer.
+
+Rebuild of the reference's GT-label renderer for the mIoU protocol
+(cuda_project_image_to_sparse_voxel/debug_checks_scripts/render_scannetpp.py,
+consumed per README.md:101-103: "mIoU/fwIoU against GT label maps rendered
+from the annotated mesh").
+
+TPU-native design: instead of a serial per-pixel triangle loop, this reuses
+the Gaussian rasterizer's binning machinery (ops/rasterize._bin_gaussian_ranks
+— bounding-circle AABB → packed-key (tile, rank) pair sort) and replaces alpha
+blending with a per-tile barycentric coverage test + perspective-correct
+z-argmin reduce over dense [K, 256] blocks (VPU-friendly regular compute).
+
+Z-buffering is an associative min-reduce, so arbitrarily large meshes stream
+through in face chunks: each call optionally takes the previous chunk's
+(depth, label) buffers and merges (see rasterize_mesh_labels_chunked).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from segsplat_tpu.ops.rasterize import TILE, Projected, _bin_gaussian_ranks
+
+MISS_LABEL = 255
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_tiles_per_axis",
+                                   "max_per_tile", "tile_chunk"))
+def rasterize_mesh_labels(verts: jax.Array,      # [V, 3] world
+                          faces: jax.Array,      # [F, 3] int32
+                          face_labels: jax.Array,  # [F] int32
+                          viewmat: jax.Array,    # [4, 4] world→cam
+                          fx, fy, cx, cy, width: int, height: int,
+                          max_tiles_per_axis: int = 8,
+                          max_per_tile: int = 256,
+                          tile_chunk: int = 64,
+                          znear: float = 1e-4,
+                          depth_init: Optional[jax.Array] = None,
+                          label_init: Optional[jax.Array] = None
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """Render per-pixel face labels with a z-buffer.
+
+    Returns (labels [H, W] int32 — MISS_LABEL where no triangle covers,
+    depth [H, W] f32 — +inf at misses). Triangles with any vertex behind
+    ``znear`` or spanning more than ``max_tiles_per_axis`` 16px-tiles per axis
+    are conservatively clipped (pass a finer mesh or larger m for close-ups).
+    ``depth_init``/``label_init`` merge a previous chunk's z-buffer.
+    """
+    R = viewmat[:3, :3]
+    t = viewmat[:3, 3]
+    cam = verts @ R.T + t                      # [V, 3]
+    z = cam[:, 2]
+    zc = jnp.maximum(z, znear)
+    u = fx * cam[:, 0] / zc + cx
+    v = fy * cam[:, 1] / zc + cy
+    pts2d = jnp.stack([u, v], axis=1)          # [V, 2]
+
+    tri = pts2d[faces]                         # [F, 3, 2]
+    triz = z[faces]                            # [F, 3]
+    zinv = 1.0 / jnp.maximum(triz, znear)      # perspective-correct interp
+    front = jnp.all(triz > znear, axis=1)
+
+    centroid = tri.mean(axis=1)                # [F, 2]
+    radius = jnp.sqrt(jnp.max(
+        jnp.sum((tri - centroid[:, None, :]) ** 2, axis=-1), axis=1))
+    v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
+    area2 = ((v1[:, 0] - v0[:, 0]) * (v2[:, 1] - v0[:, 1])
+             - (v1[:, 1] - v0[:, 1]) * (v2[:, 0] - v0[:, 0]))     # [F]
+    valid = front & (jnp.abs(area2) > 1e-12)
+    on_screen = ((centroid[:, 0] + radius > 0)
+                 & (centroid[:, 0] - radius < width)
+                 & (centroid[:, 1] + radius > 0)
+                 & (centroid[:, 1] - radius < height))
+    valid = valid & on_screen
+    radius = jnp.where(valid, radius, 0.0)
+
+    proj = Projected(means2d=centroid, depths=jnp.min(triz, axis=1),
+                     conics=jnp.zeros((tri.shape[0], 3), jnp.float32),
+                     radii=radius, valid=valid)
+    order, rank_sorted, offsets, (tx_n, ty_n) = _bin_gaussian_ranks(
+        proj, width, height, max_tiles_per_axis)
+    fidx_sorted = order[rank_sorted]           # [L] face index per pair
+    num_tiles = tx_n * ty_n
+
+    K = max_per_tile
+    counts = jnp.minimum(offsets[1:] - offsets[:-1], K)
+
+    py, px = jnp.meshgrid(jnp.arange(TILE, dtype=jnp.float32) + 0.5,
+                          jnp.arange(TILE, dtype=jnp.float32) + 0.5,
+                          indexing="ij")
+    pix = jnp.stack([px.ravel(), py.ravel()], axis=1)             # [256, 2]
+
+    def tile_pass(tile_ids):                                      # [C]
+        start = offsets[tile_ids]
+        cnt = counts[tile_ids]
+        slot = jnp.arange(K, dtype=jnp.int32)
+        fidx = fidx_sorted[jnp.clip(start[:, None] + slot[None, :], 0,
+                                    fidx_sorted.shape[0] - 1)]    # [C, K]
+        live = slot[None, :] < cnt[:, None]
+
+        tv = tri[fidx]                                            # [C, K, 3, 2]
+        tz = zinv[fidx]                                           # [C, K, 3]
+        lab = face_labels[fidx]                                   # [C, K]
+        a2 = area2[fidx]                                          # [C, K]
+
+        tx = (tile_ids % tx_n).astype(jnp.float32) * TILE
+        ty = (tile_ids // tx_n).astype(jnp.float32) * TILE
+        p = pix[None, :, :] + jnp.stack([tx, ty], axis=1)[:, None, :]  # [C,256,2]
+
+        def edge(a, b):
+            # cross(b - a, p - a) for all pixels: [C, K, 256]
+            return ((b[..., 0] - a[..., 0])[:, :, None]
+                    * (p[:, None, :, 1] - a[..., 1][:, :, None])
+                    - (b[..., 1] - a[..., 1])[:, :, None]
+                    * (p[:, None, :, 0] - a[..., 0][:, :, None]))
+
+        e0 = edge(tv[:, :, 1], tv[:, :, 2])    # barycentric weight of v0
+        e1 = edge(tv[:, :, 2], tv[:, :, 0])    # of v1
+        e2 = edge(tv[:, :, 0], tv[:, :, 1])    # of v2
+        s = jnp.sign(a2)[:, :, None]
+        inside = ((e0 * s >= 0) & (e1 * s >= 0) & (e2 * s >= 0)
+                  & live[:, :, None])
+        inv_a2 = jnp.where(jnp.abs(a2) > 1e-12, 1.0 / a2, 0.0)[:, :, None]
+        zinv_pix = (e0 * tz[:, :, 0:1] + e1 * tz[:, :, 1:2]
+                    + e2 * tz[:, :, 2:3]) * inv_a2               # [C, K, 256]
+        depth = jnp.where(inside & (zinv_pix > 0), 1.0 / zinv_pix, jnp.inf)
+
+        best = jnp.argmin(depth, axis=1)                         # [C, 256]
+        bd = jnp.take_along_axis(depth, best[:, None, :], axis=1)[:, 0, :]
+        bl = jnp.take_along_axis(
+            jnp.broadcast_to(lab[:, :, None], depth.shape),
+            best[:, None, :], axis=1)[:, 0, :]                   # [C, 256]
+        bl = jnp.where(jnp.isfinite(bd), bl, MISS_LABEL)
+        return bd, bl.astype(jnp.int32)
+
+    tile_pass = jax.checkpoint(tile_pass)
+    pad_tiles = (-num_tiles) % tile_chunk
+    all_tiles = jnp.arange(num_tiles + pad_tiles, dtype=jnp.int32) % num_tiles
+    depth_t, label_t = jax.lax.map(tile_pass, all_tiles.reshape(-1, tile_chunk))
+    depth_t = depth_t.reshape(-1, TILE, TILE)[:num_tiles]
+    label_t = label_t.reshape(-1, TILE, TILE)[:num_tiles]
+
+    def to_image(x):
+        x = x.reshape(ty_n, tx_n, TILE, TILE).transpose(0, 2, 1, 3)
+        return x.reshape(ty_n * TILE, tx_n * TILE)[:height, :width]
+
+    depth_img = to_image(depth_t)
+    label_img = to_image(label_t)
+    if depth_init is not None:
+        closer = depth_img < depth_init
+        label_img = jnp.where(closer, label_img, label_init)
+        depth_img = jnp.minimum(depth_img, depth_init)
+    return label_img, depth_img
+
+
+def rasterize_mesh_labels_chunked(verts, faces, face_labels, viewmat,
+                                  fx, fy, cx, cy, width, height,
+                                  face_chunk: int = 262_144, **kw):
+    """Stream large meshes through the renderer in face chunks, merging
+    z-buffers — memory stays bounded by the chunk's pair table."""
+    import numpy as np
+
+    F = faces.shape[0]
+    depth = jnp.full((height, width), jnp.inf, jnp.float32)
+    label = jnp.full((height, width), MISS_LABEL, jnp.int32)
+    for s in range(0, F, face_chunk):
+        f = faces[s:s + face_chunk]
+        l = face_labels[s:s + face_chunk]
+        if f.shape[0] < face_chunk and F > face_chunk:
+            pad = face_chunk - f.shape[0]       # keep one compiled shape
+            f = np.concatenate([np.asarray(f), np.zeros((pad, 3), np.int32)])
+            l = np.concatenate([np.asarray(l),
+                                np.full((pad,), MISS_LABEL, np.int32)])
+            # padded degenerate faces (all-0 vertex index) have zero area →
+            # culled by the validity test
+        label, depth = rasterize_mesh_labels(
+            jnp.asarray(verts), jnp.asarray(f), jnp.asarray(l), viewmat,
+            fx, fy, cx, cy, width, height,
+            depth_init=depth, label_init=label, **kw)
+    return label, depth

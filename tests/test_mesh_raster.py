@@ -1,0 +1,170 @@
+"""ScanNet++ GT mesh label renderer vs a brute-force numpy oracle
+(VERDICT round-1 item #5): synthetic triangle scenes with known occlusion."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from segsplat_tpu.ops.mesh_raster import (MISS_LABEL, rasterize_mesh_labels,
+                                          rasterize_mesh_labels_chunked)
+
+
+def oracle_mesh_labels(verts, faces, labels, viewmat, fx, fy, cx, cy, W, H,
+                       znear=1e-4):
+    """Per-pixel loop over every triangle: barycentric inside test (same
+    inclusive >=0 convention) + perspective-correct z, keep the closest."""
+    R, t = viewmat[:3, :3], viewmat[:3, 3]
+    cam = verts @ R.T + t
+    z = cam[:, 2]
+    u = fx * cam[:, 0] / np.maximum(z, znear) + cx
+    v = fy * cam[:, 1] / np.maximum(z, znear) + cy
+    p2 = np.stack([u, v], axis=1)
+    out_lab = np.full((H, W), MISS_LABEL, np.int32)
+    out_d = np.full((H, W), np.inf, np.float64)
+    for fi, f in enumerate(faces):
+        if np.any(z[f] <= znear):
+            continue
+        a, b, c = p2[f[0]], p2[f[1]], p2[f[2]]
+        area2 = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        if abs(area2) <= 1e-12:
+            continue
+        zi = 1.0 / z[f]
+        for py in range(H):
+            for px in range(W):
+                p = np.array([px + 0.5, py + 0.5])
+                e0 = ((c[0] - b[0]) * (p[1] - b[1])
+                      - (c[1] - b[1]) * (p[0] - b[0]))
+                e1 = ((a[0] - c[0]) * (p[1] - c[1])
+                      - (a[1] - c[1]) * (p[0] - c[0]))
+                e2 = ((b[0] - a[0]) * (p[1] - a[1])
+                      - (b[1] - a[1]) * (p[0] - a[0]))
+                s = np.sign(area2)
+                if e0 * s < 0 or e1 * s < 0 or e2 * s < 0:
+                    continue
+                zinv = (e0 * zi[0] + e1 * zi[1] + e2 * zi[2]) / area2
+                if zinv <= 0:
+                    continue
+                d = 1.0 / zinv
+                if d < out_d[py, px]:
+                    out_d[py, px] = d
+                    out_lab[py, px] = labels[fi]
+    return out_lab, out_d
+
+
+def _two_triangle_scene():
+    """Big far triangle (label 3) partially occluded by a near one (label 7)."""
+    verts = np.array([
+        # far triangle at z=2, spans most of the view
+        [-1.0, -1.0, 2.0], [1.0, -1.0, 2.0], [0.0, 1.2, 2.0],
+        # near triangle at z=1, center-left
+        [-0.5, -0.4, 1.0], [0.1, -0.4, 1.0], [-0.2, 0.4, 1.0],
+    ], np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    labels = np.array([3, 7], np.int32)
+    viewmat = np.eye(4, dtype=np.float32)
+    W = H = 32
+    f = 16.0
+    return verts, faces, labels, viewmat, f, f, W / 2, H / 2, W, H
+
+
+def test_two_triangles_match_oracle():
+    verts, faces, labels, vm, fx, fy, cx, cy, W, H = _two_triangle_scene()
+    want_lab, want_d = oracle_mesh_labels(verts, faces, labels, vm,
+                                          fx, fy, cx, cy, W, H)
+    got_lab, got_d = rasterize_mesh_labels(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(labels),
+        jnp.asarray(vm), fx, fy, cx, cy, W, H,
+        max_tiles_per_axis=4, max_per_tile=64, tile_chunk=2)
+    got_lab, got_d = np.asarray(got_lab), np.asarray(got_d)
+    # occlusion must be present in the expected output
+    assert (want_lab == 7).any() and (want_lab == 3).any()
+    assert (want_lab == MISS_LABEL).any()
+    np.testing.assert_array_equal(got_lab, want_lab)
+    fin = np.isfinite(want_d)
+    np.testing.assert_allclose(got_d[fin], want_d[fin], rtol=1e-5)
+    assert np.all(~np.isfinite(got_d[~fin]))
+
+
+def test_chunked_matches_single_shot(rng):
+    """Random triangle soup: streaming in chunks of 4 == one shot."""
+    n_tri = 12
+    verts = (rng.random((n_tri * 3, 3)) * 2 - 1).astype(np.float32)
+    verts[:, 2] = verts[:, 2] * 0.5 + 2.0
+    faces = np.arange(n_tri * 3, dtype=np.int32).reshape(n_tri, 3)
+    labels = rng.integers(0, 20, n_tri).astype(np.int32)
+    vm = np.eye(4, dtype=np.float32)
+    W = H = 24
+    f = 14.0
+    one_lab, one_d = rasterize_mesh_labels(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(labels),
+        jnp.asarray(vm), f, f, W / 2, H / 2, W, H,
+        max_tiles_per_axis=4, max_per_tile=64, tile_chunk=2)
+    ch_lab, ch_d = rasterize_mesh_labels_chunked(
+        jnp.asarray(verts), faces, labels, jnp.asarray(vm),
+        f, f, W / 2, H / 2, W, H, face_chunk=4,
+        max_tiles_per_axis=4, max_per_tile=64, tile_chunk=2)
+    np.testing.assert_array_equal(np.asarray(ch_lab), np.asarray(one_lab))
+    fin = np.isfinite(np.asarray(one_d))
+    np.testing.assert_allclose(np.asarray(ch_d)[fin], np.asarray(one_d)[fin],
+                               rtol=1e-6)
+
+
+def test_gt_renderer_cli_end_to_end(tmp_path):
+    """CLI: annotated PLY mesh + camera json → *_labels.pt consumable by
+    eval_scannetpp (self-eval gives perfect mIoU)."""
+    import json
+
+    verts, faces, labels, vm, fx, fy, cx, cy, W, H = _two_triangle_scene()
+    # per-vertex labels (what ScanNet++ meshes carry)
+    vlab = np.array([3, 3, 3, 7, 7, 7], np.int32)
+    mesh = tmp_path / "mesh.ply"
+    with open(mesh, "w") as f:
+        f.write("ply\nformat ascii 1.0\n"
+                f"element vertex {len(verts)}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property int label\n"
+                f"element face {len(faces)}\n"
+                "property list uchar int vertex_indices\nend_header\n")
+        for v, l in zip(verts, vlab):
+            f.write(f"{v[0]} {v[1]} {v[2]} {l}\n")
+        for fc in faces:
+            f.write(f"3 {fc[0]} {fc[1]} {fc[2]}\n")
+    cam_json = tmp_path / "cams.json"
+    with open(cam_json, "w") as f:
+        json.dump({"images": {"0": {"name": "v0.png", "camera_id": "0",
+                                    "R": np.eye(3).tolist(),
+                                    "tvec": [0.0, 0.0, 0.0]}},
+                   "cameras": {"0": {"params": [fx, cx, cy]}}}, f)
+
+    import render_scannetpp_gt as cli
+
+    out = str(tmp_path / "gt")
+    cli.main(["--mesh", str(mesh), "--camera_params", str(cam_json),
+              "--image_size", str(W), str(H), "--downsample", "1.0",
+              "--out_dir", out, "--max_tiles_per_axis", "4",
+              "--max_per_tile", "64"])
+    assert os.path.exists(os.path.join(out, "v0_labels.pt"))
+
+    from segsplat_tpu.io.artifacts import load_label_map
+    lab = load_label_map(os.path.join(out, "v0_labels.pt"))
+    want_lab, _ = oracle_mesh_labels(verts, faces, labels, vm,
+                                     fx, fy, cx, cy, W, H)
+    np.testing.assert_array_equal(lab, want_lab)
+
+    # the rendered GT plugs straight into the ScanNet++ eval CLI
+    import contextlib
+    import io as _io
+
+    import eval_scannetpp as ev
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ev.main(["--pred_dir", out, "--gt_dir", out, "--num_classes", "8",
+                 "--ignore_label", "255"])
+    assert "mIoU 1.0000" in buf.getvalue()
