@@ -6,9 +6,12 @@ object ids matching a text-query mask (IoA > 0.7), export per-view
 softmax-thresholded test masks.
 
 The reference grounds the text query with GroundingDINO+SAM on frame 0
-(:156-165); those checkpoints are external — pass a precomputed query mask PNG
-with --query_mask instead (the grounded-SAM hook stays pluggable via
---query_mask_cmd)."""
+(:156-165, ext/grounded_sam.py:58-115). In-framework grounding replaces that
+external dependency: --query_text scores frame-0 LSeg pixel features against
+the prompt vs the LERF negative prompts (pipeline/query.text_query_mask) —
+pass --lseg_feat (frame-0 .npy) or --lseg_dir (extract_lseg_features output).
+A precomputed binary PNG via --query_mask is still accepted and wins if
+given."""
 
 from __future__ import annotations
 
@@ -39,9 +42,19 @@ def main(argv=None):
     parser.add_argument("--classifier", default="",
                         help="classifier.npz codebook (defaults to the one next "
                              "to the loaded point cloud)")
-    parser.add_argument("--query_mask", required=True,
+    parser.add_argument("--query_mask", default="",
                         help="binary PNG mask of the queried object on view 0 "
-                             "(the grounded-SAM output in the reference)")
+                             "(the grounded-SAM output in the reference); "
+                             "optional when --query_text is given")
+    parser.add_argument("--query_text", default="",
+                        help="text prompt, grounded in-framework against "
+                             "frame-0 LSeg features (--lseg_feat/--lseg_dir)")
+    parser.add_argument("--lseg_feat", default="",
+                        help="frame-0 LSeg feature map .npy for --query_text")
+    parser.add_argument("--lseg_dir", default="",
+                        help="directory of per-view LSeg .npy maps; frame 0's "
+                             "is matched by camera name")
+    parser.add_argument("--relevancy_threshold", type=float, default=0.5)
     parser.add_argument("--ioa_threshold", type=float, default=0.7)
     parser.add_argument("--softmax_threshold", type=float, default=0.2)
     parser.add_argument("--out_name", default="test_mask")
@@ -68,8 +81,29 @@ def main(argv=None):
     # frame 0: pick object ids under the query mask (:76-78)
     logits0 = view_logits(dcams[0])
     pred0 = np.asarray(jnp.argmax(logits0, axis=0))
-    qmask = np.asarray(Image.open(args.query_mask).convert("L").resize(
-        (pred0.shape[1], pred0.shape[0]), Image.NEAREST)) > 128
+    if args.query_mask:
+        qmask = np.asarray(Image.open(args.query_mask).convert("L").resize(
+            (pred0.shape[1], pred0.shape[0]), Image.NEAREST)) > 128
+    elif args.query_text:
+        from segsplat_tpu.pipeline.query import text_query_mask
+
+        feat_path = args.lseg_feat
+        if not feat_path:
+            if not args.lseg_dir:
+                raise SystemExit("--query_text needs --lseg_feat or --lseg_dir")
+            feat_path = os.path.join(args.lseg_dir,
+                                     f"{cams[0].image_name}.npy")
+        fmap = np.load(feat_path).astype(np.float32)             # [C,h,w]
+        qsmall = text_query_mask(fmap, args.query_text,
+                                 threshold=args.relevancy_threshold,
+                                 channels_first=True)
+        qmask = np.asarray(Image.fromarray(
+            qsmall.astype(np.uint8) * 255).resize(
+            (pred0.shape[1], pred0.shape[0]), Image.NEAREST)) > 128
+        print(f"[INFO] grounded '{args.query_text}' → "
+              f"{int(qmask.sum())} px on frame 0")
+    else:
+        raise SystemExit("pass --query_mask or --query_text")
     ids = select_obj_ioa(pred0, qmask, args.ioa_threshold)
     print(f"[INFO] selected object ids: {ids}")
 

@@ -144,6 +144,50 @@ def _encode_prompts(prompts: Sequence[str], text_model, feat_dim: int):
     except Exception as e:  # pragma: no cover
         print(f"[WARN] CLIP text tower unavailable ({e}); using deterministic "
               f"hash embeddings — labels will not be semantically meaningful")
-        rngs = [np.random.default_rng(abs(hash(p)) % (2 ** 32)) for p in prompts]
+        import hashlib
+        # stable digest (NOT built-in hash(), which is salted per process via
+        # PYTHONHASHSEED and would break artifact reproducibility)
+        rngs = [np.random.default_rng(int.from_bytes(
+            hashlib.sha256(p.encode()).digest()[:4], "little"))
+            for p in prompts]
         emb = np.stack([r.standard_normal(feat_dim) for r in rngs]).astype(np.float32)
         return emb / np.linalg.norm(emb, axis=1, keepdims=True)
+
+
+LERF_NEGATIVES = ("object", "things", "stuff", "texture")
+
+
+def text_query_mask(feature_map: np.ndarray, prompt: str,
+                    negatives: Sequence[str] = LERF_NEGATIVES,
+                    threshold: float = 0.5,
+                    channels_first: bool = False,
+                    text_model=None) -> np.ndarray:
+    """LSeg-native text grounding — the in-framework replacement for the
+    reference's GroundingDINO+SAM frame-0 query (ext/grounded_sam.py:58-115,
+    consumed at render_lerf_mask_unified_lift.py:71-78): score per-pixel LSeg
+    features against the prompt vs the canonical LERF negative prompts and
+    threshold the prompt's softmax relevancy.
+
+    feature_map: [H, W, C] LSeg features for the query view ([C, H, W] with
+    ``channels_first=True`` — the layout extract_lseg_features writes).
+    Returns a boolean [H, W] mask.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    f = np.asarray(feature_map, np.float32)
+    if f.ndim != 3:
+        raise ValueError(f"feature map must be 3D, got {f.shape}")
+    if channels_first:                  # [C, H, W] → [H, W, C]
+        f = np.transpose(f, (1, 2, 0))
+    emb = _encode_prompts([prompt, *negatives], text_model, f.shape[-1])
+    emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-12)
+
+    @jax.jit
+    def relevancy(feats, text):
+        n = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
+        logits = 100.0 * jnp.einsum("hwc,pc->hwp", n, text)
+        return jax.nn.softmax(logits, axis=-1)[..., 0]
+
+    rel = np.asarray(relevancy(jnp.asarray(f), jnp.asarray(emb)))
+    return rel > threshold
