@@ -8,6 +8,10 @@ DEVA/SAM/GroundingDINO are external vendored models with their own checkpoints
 the pipeline contract around them:
   * ``convert``: color instance masks → gray id masks (``object_mask/``), the
     format train.py consumes per camera (dataset_readers.py:105-106),
+  * ``track``: DEVA-lite — per-frame instance masks with ARBITRARY ids →
+    temporally-consistent ids via max-IoU Hungarian association with
+    occlusion memory (pipeline/tracking.py); ``object_mask/`` can be produced
+    in-framework from any per-frame segmenter output,
   * ``from_deva``: invoke an external DEVA installation when available
     (--deva_cmd), then convert its output.
 """
@@ -62,6 +66,46 @@ def color_masks_to_ids(mask_dir: str, out_dir: str) -> int:
     return len(color_to_id)
 
 
+def _load_frame_ids(path: str) -> np.ndarray:
+    """A mask file → per-frame id map (gray ids verbatim; RGB colors get
+    arbitrary per-frame ids — the tracker re-associates them anyway)."""
+    img = Image.open(path)
+    if img.mode in ("L", "P", "I", "I;16"):
+        return np.asarray(img.convert("I")).astype(np.int32)
+    arr = np.asarray(img.convert("RGB"))
+    flat = (arr[..., 0].astype(np.int64) << 16) | \
+           (arr[..., 1].astype(np.int64) << 8) | arr[..., 2].astype(np.int64)
+    colors, ids = np.unique(flat, return_inverse=True)
+    ids = ids.reshape(arr.shape[:2]).astype(np.int32)
+    if colors[0] != 0:                      # keep black = background = 0
+        ids += 1
+    return ids
+
+
+def track_sequence(mask_dir: str, out_dir: str, iou_threshold: float,
+                   memory_frames: int, min_pixels: int) -> int:
+    """DEVA-lite: associate per-frame instances across the sequence."""
+    from segsplat_tpu.pipeline.tracking import (TrackerConfig,
+                                                associate_sequence)
+
+    os.makedirs(out_dir, exist_ok=True)
+    files = sorted(sum((glob.glob(os.path.join(mask_dir, e))
+                        for e in ("*.png", "*.jpg")), []))
+    if not files:
+        raise SystemExit(f"no masks in {mask_dir}")
+    frames = (_load_frame_ids(f) for f in files)
+    cfg = TrackerConfig(iou_threshold=iou_threshold,
+                        memory_frames=memory_frames, min_pixels=min_pixels)
+    tracked = associate_sequence(frames, cfg)
+    n_ids = 0
+    for f, t in zip(files, tracked):
+        n_ids = max(n_ids, int(t.max()))
+        name = os.path.splitext(os.path.basename(f))[0] + ".png"
+        Image.fromarray(t).save(os.path.join(out_dir, name))
+    print(f"[DONE] tracked {len(files)} frames, {n_ids} object ids → {out_dir}")
+    return n_ids
+
+
 def main(argv=None):
     p = ArgumentParser()
     sp = p.add_subparsers(dest="cmd", required=True)
@@ -70,6 +114,14 @@ def main(argv=None):
     cv.add_argument("--masks", required=True)
     cv.add_argument("--out", required=True)
 
+    tr = sp.add_parser("track", help="DEVA-lite temporal id association")
+    tr.add_argument("--masks", required=True,
+                    help="per-frame masks (gray ids or colors, any ids)")
+    tr.add_argument("--out", required=True)
+    tr.add_argument("--iou_threshold", type=float, default=0.3)
+    tr.add_argument("--memory_frames", type=int, default=30)
+    tr.add_argument("--min_pixels", type=int, default=16)
+
     dv = sp.add_parser("from_deva", help="run an external DEVA then convert")
     dv.add_argument("--deva_cmd", required=True,
                     help="shell command that writes color masks to --masks")
@@ -77,6 +129,10 @@ def main(argv=None):
     dv.add_argument("--out", required=True)
 
     args = p.parse_args(argv)
+    if args.cmd == "track":
+        track_sequence(args.masks, args.out, args.iou_threshold,
+                       args.memory_frames, args.min_pixels)
+        return
     if args.cmd == "from_deva":
         print(f"+ {args.deva_cmd}")
         r = subprocess.run(args.deva_cmd, shell=True)

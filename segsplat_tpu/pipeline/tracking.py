@@ -1,0 +1,136 @@
+"""DEVA-lite temporal instance-id association (pseudo-label tracking).
+
+The reference vendors Tracking-Anything-with-DEVA (~11.4k LoC) and drives it
+twice per scene (script/debug_checks_scripts/prepare_pseudo_label.sh:24-57) to
+turn per-frame instance segmentations into the temporally-consistent
+``object_mask/`` id maps Unified-Lift trains on (dataset_readers.py:105-106).
+
+This module rebuilds the association core without the vendored tracker:
+per-frame instance masks with ARBITRARY ids are linked across time by
+maximum-IoU bipartite matching — solved with the framework's own on-device
+Hungarian solver (ops/assignment.linear_sum_assignment, the same machinery the
+training loop uses for virtual-GT matching) — plus a short-term mask memory
+that bridges occlusions/dropouts of up to ``memory_frames`` frames.
+
+It does not re-segment (DEVA's in-clip consensus); feed it per-frame masks
+from any segmenter (SAM exports, color masks via
+scripts/prepare_pseudo_label.py convert, etc.).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class TrackerConfig:
+    iou_threshold: float = 0.3     # min IoU to link an instance to a track
+    memory_frames: int = 30        # how long a lost track stays matchable
+    min_pixels: int = 16           # ignore smaller instances
+    max_ids: int = 255             # id budget (id 0 = background)
+
+
+def extract_instances(id_map: np.ndarray, min_pixels: int = 1
+                      ) -> List[np.ndarray]:
+    """[H, W] integer map (0 = background) → list of boolean instance masks."""
+    out = []
+    for v in np.unique(id_map):
+        if v == 0:
+            continue
+        m = id_map == v
+        if int(m.sum()) >= min_pixels:
+            out.append(m)
+    return out
+
+
+def _iou_matrix(prev: Sequence[np.ndarray], cur: Sequence[np.ndarray]
+                ) -> np.ndarray:
+    """[P, C] IoU between stored track masks and current instances, computed
+    with one [P+C, HW] boolean matmul-style contraction."""
+    if not prev or not cur:
+        return np.zeros((len(prev), len(cur)), np.float32)
+    P = np.stack([m.ravel() for m in prev]).astype(np.float32)   # [P, HW]
+    C = np.stack([m.ravel() for m in cur]).astype(np.float32)    # [C, HW]
+    inter = P @ C.T
+    union = P.sum(1)[:, None] + C.sum(1)[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+
+def _match(iou: np.ndarray, threshold: float) -> Dict[int, int]:
+    """Maximum-IoU bipartite matching → {cur_index: prev_index}; pairs under
+    ``threshold`` stay unmatched. Solved on device by ops/assignment."""
+    import jax.numpy as jnp
+
+    from segsplat_tpu.ops.assignment import linear_sum_assignment
+
+    p, c = iou.shape
+    if p == 0 or c == 0:
+        return {}
+    n = max(p, c)
+    cost = np.ones((n, n), np.float32)          # cost = 1 - IoU, padded
+    cost[:p, :c] = 1.0 - iou
+    col_of_row, _ = linear_sum_assignment(jnp.asarray(cost))
+    col_of_row = np.asarray(col_of_row)
+    out = {}
+    for pi in range(p):
+        ci = int(col_of_row[pi])
+        if ci < c and iou[pi, ci] >= threshold:
+            out[ci] = pi
+    return out
+
+
+class InstanceTracker:
+    """Streaming tracker: feed per-frame instance masks, get stable ids."""
+
+    def __init__(self, cfg: TrackerConfig = TrackerConfig()):
+        self.cfg = cfg
+        self.track_masks: List[np.ndarray] = []    # last-seen mask per track
+        self.track_last_seen: List[int] = []
+        self.next_id = 1
+        self.frame = -1
+
+    def update(self, instances: Sequence[np.ndarray]) -> List[int]:
+        """Associate this frame's instance masks; returns their global ids
+        (order-aligned with ``instances``)."""
+        self.frame += 1
+        live = [i for i, last in enumerate(self.track_last_seen)
+                if self.frame - last <= self.cfg.memory_frames]
+        iou = _iou_matrix([self.track_masks[i] for i in live], instances)
+        match = _match(iou, self.cfg.iou_threshold)
+        ids = []
+        for ci, mask in enumerate(instances):
+            if ci in match:
+                ti = live[match[ci]]
+            else:
+                if self.next_id > self.cfg.max_ids:
+                    ids.append(0)   # id budget exhausted → background
+                    continue
+                ti = len(self.track_masks)
+                self.track_masks.append(mask)
+                self.track_last_seen.append(self.frame)
+                self.next_id += 1
+            self.track_masks[ti] = mask
+            self.track_last_seen[ti] = self.frame
+            ids.append(ti + 1)
+        return ids
+
+
+def associate_sequence(frames: Iterable[np.ndarray],
+                       cfg: TrackerConfig = TrackerConfig()
+                       ) -> List[np.ndarray]:
+    """Per-frame id maps (arbitrary per-frame ids) → temporally-consistent id
+    maps. Later instances win overlapping pixels (matches DEVA's painting
+    order for its id masks)."""
+    tracker = InstanceTracker(cfg)
+    out = []
+    for frame in frames:
+        inst = extract_instances(np.asarray(frame), cfg.min_pixels)
+        ids = tracker.update(inst)
+        canvas = np.zeros(np.asarray(frame).shape, np.uint8)
+        for mask, gid in zip(inst, ids):
+            canvas[mask] = gid
+        out.append(canvas)
+    return out
