@@ -1,0 +1,71 @@
+"""Multi-host (DCN) smoke test: two REAL processes through
+parallel/multihost.initialize + a global-mesh reduction (SURVEY §5.8).
+
+jax.distributed on the CPU backend needs the distributed coordinator service
+(and gloo for cross-process collectives); if this environment can't support
+it, the test reports that explicitly via skip — topology() is still covered
+single-process below.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_topology_single_process():
+    from segsplat_tpu.parallel import multihost
+
+    topo = multihost.topology()
+    assert topo["process_count"] == 1
+    assert topo["global_devices"] == topo["local_devices"] == 8
+
+
+def test_two_process_initialize_and_reduce():
+    coord = f"localhost:{_free_port()}"
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               JAX_PLATFORMS="cpu")
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, coord, "2", str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out")
+        outs.append((out, err))
+    results = []
+    for out, err in outs:
+        lines = [l for l in out.strip().splitlines() if l.startswith("{")]
+        assert lines, f"no json from worker: stdout={out!r} stderr={err[-800:]!r}"
+        results.append(json.loads(lines[-1]))
+
+    if not all(r["ok"] for r in results):
+        pytest.skip(f"jax.distributed unsupported here: {results}")
+
+    for r in results:
+        assert r["topo"]["process_count"] == 2
+        assert r["topo"]["global_devices"] == 4  # 2 procs × 2 local devices
+    if any(r["psum_err"] for r in results):
+        pytest.skip("distributed init OK; cross-process CPU collectives "
+                    f"unavailable: {[r['psum_err'] for r in results]}")
+    # sum over both processes' shards: (0+1) + (10+11)
+    assert all(r["psum"] == pytest.approx(22.0) for r in results)
