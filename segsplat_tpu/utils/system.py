@@ -22,16 +22,19 @@ def mkdir_p(path: str) -> None:
 
 
 def search_for_max_iteration(folder: str) -> int | None:
-    """Largest iteration number embedded in any .ply/.pth/.msgpack filename under
-    ``folder`` (recursive regex like the reference's searchForMaxIteration,
-    utils/system_utils.py:27-45)."""
+    """Largest N among ``iteration_<N>`` entries under ``folder`` (recursive),
+    mirroring the reference's searchForMaxIteration
+    (utils/system_utils.py:27-45). Only the iteration directory/file pattern
+    counts — stray artifacts with digits in their names (e.g. a copied
+    grid_3187vox.ply) must not resolve load_iteration=-1 to a nonexistent
+    iteration."""
     best = None
-    for root, _dirs, files in os.walk(folder):
-        for name in files + [os.path.basename(root)]:
-            for m in re.findall(r"(\d+)", name):
-                if name.endswith((".ply", ".pth", ".msgpack", ".npz")) or "iteration_" in root or "iteration_" in name:
-                    v = int(m)
-                    best = v if best is None else max(best, v)
+    for root, dirs, files in os.walk(folder):
+        for name in dirs + files:
+            m = re.fullmatch(r"iteration_(\d+)(?:\.[A-Za-z0-9]+)?", name)
+            if m:
+                v = int(m.group(1))
+                best = v if best is None else max(best, v)
     return best
 
 

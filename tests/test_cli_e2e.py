@@ -111,6 +111,32 @@ def test_render_semantics_cli_and_downstream(trained_scene, tmp_path):
         ags.main(["--semantics", sem_path])
 
 
+def test_render_lerf_mask_text_grounded(trained_scene, tmp_path):
+    """LERF-mask CLI self-contained from a TEXT query (no --query_mask): text
+    → frame-0 LSeg relevancy mask → IoA id selection → per-view test masks."""
+    import render_lerf_mask as rlm
+
+    model = trained_scene["model"]
+    # synthetic frame-0 LSeg features: top half matches the prompt's
+    # (deterministic hash) embedding → grounding selects that region
+    from tests.make_goldens import hash_prompt_embeddings
+    C, h, w = 12, 16, 16
+    emb_p = hash_prompt_embeddings(["chair"], C)[0]
+    emb_n = hash_prompt_embeddings(["object"], C)[0]
+    fmap = np.tile(emb_n, (h, w, 1)).astype(np.float32)
+    fmap[:8] = emb_p
+    feat = str(tmp_path / "frame0.npy")
+    np.save(feat, np.transpose(fmap, (2, 0, 1)))   # [C,h,w] like the extractor
+
+    import contextlib, io
+    with contextlib.redirect_stdout(io.StringIO()):
+        rlm.main(["--model_path", model, "--iteration", "4",
+                  "--query_text", "chair", "--lseg_feat", feat])
+    out_dir = os.path.join(model, "test_mask", "ours_4")
+    masks = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+    assert len(masks) == 3  # one per camera
+
+
 def test_editing_cli(trained_scene, tmp_path):
     import edit_object_removal as rem
 
