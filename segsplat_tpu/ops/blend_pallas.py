@@ -32,6 +32,7 @@ sigma ≥ 0, alpha ≥ 1/255, clamp 0.999); validated in tests/test_blend_pallas
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -62,38 +63,42 @@ def _cumprod_rows(x: jax.Array) -> jax.Array:
 
 def _blend_tile_kernel_dma(offs_ref, payload_hbm, bg_ref, img_ref, alpha_ref,
                            buf, sems, *, k_max: int, ch: int, tx_n: int,
-                           g_block: int):
+                           g_block: int, dma_block: int):
     """Variant that pulls each tile's contiguous depth-ordered payload run
     straight out of HBM (offsets prefetched), double-buffered across grid
     steps — no [T, K] window materialization at all.
 
-    The window is DMA'd in g_block-row halves, and half h > 0 is issued ONLY
-    when the tile's run actually extends past h·g_block rows — the average
-    run is well under k_max, so demand-issued halves cut the kernel's HBM
-    read traffic roughly in half. All issued halves are awaited up front
-    (NOT per block: the body's saturation early-exit could otherwise leave an
-    issued DMA un-awaited, corrupting the semaphore for the slot's next
-    reuse); the block loop reads block h only under the same count condition,
-    so never-issued halves are never read."""
+    The window is DMA'd in dma_block-row pieces, and piece h > 0 is issued
+    ONLY when the tile's run actually extends past h·dma_block rows. All
+    issued pieces are awaited up front (NOT per block: the body's saturation
+    early-exit could otherwise leave an issued DMA un-awaited, corrupting the
+    semaphore for the slot's next reuse).
+
+    MEASURED at bench scale (1080p / 200k / m=3 / K=256, v5e): demand-issued
+    halves (dma_block=128) cost +2.2 ms/frame vs one full-window DMA — the
+    kernel is compute-bound, the second conditional DMA's issue/await
+    overhead exceeds the bytes it saves. Default is therefore
+    dma_block = k_max (a single unconditional window copy); the demand path
+    stays available for workloads with much sparser tiles."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     t = i * pl.num_programs(1) + j
     n_t = pl.num_programs(0) * pl.num_programs(1)
-    n_half = k_max // g_block
+    n_piece = k_max // dma_block
 
-    def dma_half(slot, tt, h):
-        start = offs_ref[tt] + h * g_block
+    def dma_piece(slot, tt, h):
+        start = offs_ref[tt] + h * dma_block
         return pltpu.make_async_copy(
-            payload_hbm.at[pl.ds(start, g_block), :],
-            buf.at[slot, pl.ds(h * g_block, g_block), :],
+            payload_hbm.at[pl.ds(start, dma_block), :],
+            buf.at[slot, pl.ds(h * dma_block, dma_block), :],
             sems.at[slot, h])
 
     def issue(slot, tt):
         cnt = offs_ref[tt + 1] - offs_ref[tt]
-        for h in range(n_half):
-            @pl.when((h == 0) | (cnt > h * g_block))
+        for h in range(n_piece):
+            @pl.when((h == 0) | (cnt > h * dma_block))
             def _():
-                dma_half(slot, tt, h).start()
+                dma_piece(slot, tt, h).start()
 
     @pl.when(t == 0)
     def _():
@@ -104,10 +109,10 @@ def _blend_tile_kernel_dma(offs_ref, payload_hbm, bg_ref, img_ref, alpha_ref,
         issue((t + 1) % 2, t + 1)
 
     cnt_raw = offs_ref[t + 1] - offs_ref[t]
-    for h in range(n_half):
-        @pl.when((h == 0) | (cnt_raw > h * g_block))
+    for h in range(n_piece):
+        @pl.when((h == 0) | (cnt_raw > h * dma_block))
         def _():
-            dma_half(t % 2, t, h).wait()
+            dma_piece(t % 2, t, h).wait()
 
     count = jnp.minimum(cnt_raw, k_max)
     _blend_body(count, buf.at[t % 2], bg_ref, img_ref, alpha_ref,
@@ -178,12 +183,14 @@ def _blend_body(count, win_ref, bg_ref, img_ref, alpha_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tx_n", "ty_n", "k_max", "g_block"))
+                   static_argnames=("tx_n", "ty_n", "k_max", "g_block",
+                                    "dma_block"))
 def blend_tiles_pallas_dma(offsets: jax.Array,   # [T+1] int32 run starts (pairs)
                            sorted_payload: jax.Array,  # [L(+K pad), 128] f32
                            bg: jax.Array,        # [CH]
                            tx_n: int, ty_n: int, k_max: int,
-                           g_block: int = 128):
+                           g_block: Optional[int] = None,
+                           dma_block: Optional[int] = None):
     """Blend all tiles reading each tile's contiguous depth-ordered payload run
     directly from HBM (no per-tile window gather). ``sorted_payload`` must be
     padded with ≥ k_max rows past offsets[-1] and to PAYLOAD_WIDTH lanes; mu in
@@ -193,10 +200,18 @@ def blend_tiles_pallas_dma(offsets: jax.Array,   # [T+1] int32 run starts (pairs
     ch = bg.shape[-1]
     assert sorted_payload.shape[-1] == PAYLOAD_WIDTH, (
         f"payload rows must be padded to {PAYLOAD_WIDTH} lanes")
+    # body block default 256: at K=256 the single 256-row block beat two
+    # 128-row blocks by 1.3 ms/frame at bench scale (fewer early-exit cond
+    # branches, deeper MXU contraction) — early exit only pays when a tile
+    # saturates well before the window ends.
+    g_block = g_block or min(256, k_max)
     assert k_max % g_block == 0, f"k_max must be a multiple of {g_block}"
+    dma_block = dma_block or k_max          # default: one full-window DMA
+    assert k_max % dma_block == 0, f"k_max must be a multiple of {dma_block}"
 
     kernel = functools.partial(_blend_tile_kernel_dma, k_max=k_max, ch=ch,
-                               tx_n=tx_n, g_block=g_block)
+                               tx_n=tx_n, g_block=g_block,
+                               dma_block=dma_block)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ty_n, tx_n),
@@ -213,7 +228,7 @@ def blend_tiles_pallas_dma(offsets: jax.Array,   # [T+1] int32 run starts (pairs
         ],
         scratch_shapes=[
             pltpu.VMEM((2, k_max, PAYLOAD_WIDTH), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, k_max // g_block)),
+            pltpu.SemaphoreType.DMA((2, k_max // dma_block)),
         ],
     )
     img, alpha = pl.pallas_call(

@@ -259,19 +259,23 @@ def _blend_bwd_pallas(offsets, sorted_payload, bg, img, alpha, g_img, g_alpha,
 
 # ───────────────────────── custom_vjp wrapper ─────────────────────────
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def blend_core(offsets, sorted_payload, bg, tx_n, ty_n, k_max, g_block=128):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def blend_core(offsets, sorted_payload, bg, tx_n, ty_n, k_max, g_block=None,
+               dma_block=None):
     """Differentiable tile blend over sorted pair payloads.
 
     Returns (img [T·PX… image layout H', W', ch], alpha [H', W']) like
-    blend_tiles_pallas_dma."""
+    blend_tiles_pallas_dma. ``dma_block`` only affects the forward window
+    copy (None = one full-window DMA, the measured-fastest default)."""
     return blend_tiles_pallas_dma(offsets, sorted_payload, bg, tx_n, ty_n,
-                                  k_max, g_block=g_block)
+                                  k_max, g_block=g_block, dma_block=dma_block)
 
 
-def _blend_core_fwd(offsets, sorted_payload, bg, tx_n, ty_n, k_max, g_block):
+def _blend_core_fwd(offsets, sorted_payload, bg, tx_n, ty_n, k_max, g_block,
+                    dma_block):
     img, alpha = blend_tiles_pallas_dma(offsets, sorted_payload, bg, tx_n,
-                                        ty_n, k_max, g_block=g_block)
+                                        ty_n, k_max, g_block=g_block,
+                                        dma_block=dma_block)
     return (img, alpha), (offsets, sorted_payload, bg, img, alpha)
 
 
@@ -282,7 +286,7 @@ def _image_to_tiles(x, tx_n, ty_n):
     return x.reshape(tx_n * ty_n, PX, *ch_dims)
 
 
-def _blend_core_bwd(tx_n, ty_n, k_max, g_block, res, cot):
+def _blend_core_bwd(tx_n, ty_n, k_max, g_block, dma_block, res, cot):
     offsets, sorted_payload, bg, img, alpha = res
     g_img, g_alpha = cot
     T = tx_n * ty_n
@@ -292,7 +296,7 @@ def _blend_core_bwd(tx_n, ty_n, k_max, g_block, res, cot):
     galpha_t = _image_to_tiles(g_alpha, tx_n, ty_n).reshape(T, 1, PX)
     d_payload, d_bg = _blend_bwd_pallas(
         offsets, sorted_payload, bg, img_t, alpha_t, gimg_t, galpha_t,
-        tx_n, ty_n, k_max, g_block=g_block)
+        tx_n, ty_n, k_max, g_block=g_block or 128)
     return None, d_payload, d_bg
 
 

@@ -268,6 +268,10 @@ def _bin_gaussian_ranks(proj: Projected, width: int, height: int,
         # than d² > 2·ln(255·op)·r²/9 from the mean can only produce
         # α < 1/255 — pairs the blend would discard pixel-by-pixel anyway.
         # Cuts AABB corner tiles; biggest win for large/transparent splats.
+        # MEASURED at bench scale (1080p/200k/m=3, ~11 px splats): the
+        # per-pair rect-distance math costs +4.0 ms/frame, MORE than the
+        # culled blend work saves — opacity_cull therefore defaults to OFF
+        # in rasterize(); keep it for large-splat / low-opacity workloads.
         op_s = opacities[order]
         ln_cut = jnp.log(jnp.maximum(255.0 * jnp.minimum(op_s, 0.999), 1e-12))
         d2_max = (2.0 / 9.0) * ln_cut * radii * radii + 1e-3       # [N]
@@ -306,7 +310,9 @@ def _bin_gaussian_ranks(proj: Projected, width: int, height: int,
 
 def _blend_tiles_pallas(proj: Projected, colors, opacities, bg,
                         width: int, height: int, max_tiles_per_axis: int,
-                        max_per_tile: int, pair_cap: Optional[int] = None):
+                        max_per_tile: int, pair_cap: Optional[int] = None,
+                        opacity_cull: bool = False,
+                        dma_block: Optional[int] = None):
     """Pallas blend path: fused per-Gaussian payload, sorted into per-tile
     contiguous depth-ordered runs (two coalesced row gathers — measured 10×
     faster than per-field or per-element gathers), blended by the DMA kernel
@@ -323,7 +329,8 @@ def _blend_tiles_pallas(proj: Projected, colors, opacities, bg,
 
     K = max_per_tile
     order, rank_sorted, offsets, (tx_n, ty_n) = _bin_gaussian_ranks(
-        proj, width, height, max_tiles_per_axis, opacities=opacities)
+        proj, width, height, max_tiles_per_axis,
+        opacities=opacities if opacity_cull else None)
     if pair_cap is not None and pair_cap < rank_sorted.shape[0]:
         rank_sorted = rank_sorted[:pair_cap]
         offsets = jnp.minimum(offsets, pair_cap)
@@ -360,13 +367,14 @@ def _blend_tiles_pallas(proj: Projected, colors, opacities, bg,
 
     from segsplat_tpu.ops.blend_pallas_vjp import blend_core
 
-    img, alpha = blend_core(offsets, sorted_payload, bg, tx_n, ty_n, K)
+    img, alpha = blend_core(offsets, sorted_payload, bg, tx_n, ty_n, K,
+                            dma_block=dma_block)
     return img, alpha
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_tiles_per_axis",
                                    "max_per_tile", "tile_chunk", "backend",
-                                   "pair_cap"))
+                                   "pair_cap", "opacity_cull", "dma_block"))
 def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
               opacities: jax.Array, colors: jax.Array,
               viewmat: jax.Array, fx, fy, cx, cy,
@@ -376,6 +384,8 @@ def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
               max_tiles_per_axis: int = 8, max_per_tile: int = 512,
               tile_chunk: int = 64, backend: str = "xla",
               pair_cap: Optional[int] = None,
+              opacity_cull: bool = False,
+              dma_block: Optional[int] = None,
               tan_fovx: Optional[jax.Array] = None,
               tan_fovy: Optional[jax.Array] = None):
     """Full differentiable forward: project → bin → blend.
@@ -394,6 +404,14 @@ def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
     pair_cap (pallas only): static post-sort truncation of the pair list —
     exact whenever it covers the frame's real pair count; see
     _blend_tiles_pallas.
+    opacity_cull (pallas only): exact opacity-aware tile culling in binning.
+    MEASURED at bench scale (1080p/200k/m=3, small mostly-opaque splats):
+    costs +4.0 ms/frame — the per-pair rect-distance math outweighs the
+    culled blend work. Off by default; worth enabling for scenes with large
+    or low-opacity splats (m ≥ 6).
+    dma_block (pallas only): forward blend window DMA piece size (None = one
+    full-window copy per tile, the measured-fastest default; 128 enables
+    demand-issued pieces, +2.2 ms/frame at bench scale).
 
     Returns dict: image [H,W,CH], alpha [H,W], radii [N], visible [N] bool,
     depths [N].
@@ -408,7 +426,9 @@ def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
     if backend == "pallas":
         img, alpha = _blend_tiles_pallas(proj, colors, opacities, bg,
                                          width, height, max_tiles_per_axis,
-                                         max_per_tile, pair_cap=pair_cap)
+                                         max_per_tile, pair_cap=pair_cap,
+                                         opacity_cull=opacity_cull,
+                                         dma_block=dma_block)
     else:
         sorted_gid, offsets, (tx_n, ty_n) = _bin_gaussians(
             proj, width, height, max_tiles_per_axis, opacities=opacities)
