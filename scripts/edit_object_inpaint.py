@@ -2,8 +2,13 @@
 """Object inpainting on a trained scene — the reference's edit_object_inpaint
 workflow (edit_object_inpaint.sh; entry .py absent upstream — SURVEY §1 L7):
 remove the selected object's Gaussians, seed replacements from surrounding
-geometry, then finetune ONLY the new rows against (externally LaMa-inpainted)
-images with the gradient mask of gaussian_model.py:187-205."""
+geometry, then finetune ONLY the new rows against inpainted images with the
+gradient mask of gaussian_model.py:187-205.
+
+The inpainted frames (--images, e.g. images_inpaint_unseen/) can come from
+the external LaMa hook like the reference, or be produced in-framework with
+scripts/inpaint_images.py (TPU push-pull + diffusion fill,
+segsplat_tpu/ops/inpaint.py)."""
 
 from __future__ import annotations
 
