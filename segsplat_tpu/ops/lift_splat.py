@@ -41,22 +41,34 @@ def _project_voxels(centers: jax.Array, half: jax.Array, w2c: jax.Array,
     depth, valid)."""
     fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
     R, t = w2c[:3, :3], w2c[:3, 3]
-    cam = centers @ R.T + t                                     # [V,3]
-    z = cam[:, 2]
 
-    # 8 cube corners, projected; AABB over corners
-    signs = jnp.asarray([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
-                         for sz in (-1, 1)], jnp.float32)       # [8,3]
-    corners = centers[:, None, :] + half * signs[None, :, :]    # [V,8,3]
-    ccam = corners @ R.T + t
-    cz = jnp.maximum(ccam[..., 2], 1e-6)
-    u = fx * ccam[..., 0] / cz + cx                             # [V,8]
-    v = fy * ccam[..., 1] / cz + cy
-    u0, u1 = u.min(axis=1), u.max(axis=1)
-    v0, v1 = v.min(axis=1), v.max(axis=1)
+    # planar [V] component arrays throughout — a [V,8,3] corner tensor pads
+    # its (8,3) minor dims to (8,128), a 42× physical blowup (see the
+    # first_hit_voxels_splat layout note)
+    wxc, wyc, wzc = centers[:, 0], centers[:, 1], centers[:, 2]
+    z = R[2, 0] * wxc + R[2, 1] * wyc + R[2, 2] * wzc + t[2]    # [V]
+
+    u0 = v0 = jnp.inf
+    u1 = v1 = -jnp.inf
+    any_front = False
+    for sx_ in (-1.0, 1.0):
+        for sy_ in (-1.0, 1.0):
+            for sz_ in (-1.0, 1.0):
+                px = wxc + half * sx_
+                py = wyc + half * sy_
+                pz = wzc + half * sz_
+                ccx = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + t[0]
+                ccy = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + t[1]
+                ccz = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + t[2]
+                any_front = (ccz > 0) | any_front
+                czs = jnp.maximum(ccz, 1e-6)
+                u = fx * ccx / czs + cx
+                v = fy * ccy / czs + cy
+                u0, u1 = jnp.minimum(u0, u), jnp.maximum(u1, u)
+                v0, v1 = jnp.minimum(v0, v), jnp.maximum(v1, v)
     means2d = jnp.stack([(u0 + u1) * 0.5, (v0 + v1) * 0.5], axis=1)
     radius = jnp.maximum(u1 - u0, v1 - v0) * 0.5 + 1.0
-    valid = ((ccam[..., 2] > 0).any(axis=1) & (z < depth_max * 1.74)
+    valid = (any_front & (z < depth_max * 1.74)
              & (u1 > 0) & (u0 < width) & (v1 > 0) & (v0 < height))
     return means2d, radius, z, valid
 
@@ -74,7 +86,7 @@ def _bin_voxels(means2d, radius, depth, valid, width: int, height: int,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_tiles_per_axis",
-                                   "max_per_tile", "tile_chunk"))
+                                   "max_per_tile", "tile_chunk", "pair_cap"))
 def first_hit_voxels_splat(centers: jax.Array,     # [V,3] world voxel centers
                            voxel_ids: jax.Array,   # [V] int32 1-based ids
                            c2w: jax.Array, intrinsics: jax.Array,
@@ -84,8 +96,21 @@ def first_hit_voxels_splat(centers: jax.Array,     # [V,3] world voxel centers
                            width: int, height: int,
                            max_tiles_per_axis: int = 4,
                            max_per_tile: int = 64,
-                           tile_chunk: int = 64) -> jax.Array:
-    """Per-pixel first-hit voxel id via splatting. Returns [H, W] int32 (0=miss)."""
+                           tile_chunk: int = 64,
+                           pair_cap: int = None) -> jax.Array:
+    """Per-pixel first-hit voxel id via splatting. Returns [H, W] int32 (0=miss).
+
+    LAYOUT NOTE (the 38→?? ms/view fix): every per-pair / per-candidate array
+    is kept PLANAR — separate x/y/z/id components of shape [T,K] or [C,K,256]
+    — never stacked with a trailing size-3/4 axis. TPU pads the last two dims
+    to (8,128) tiles, so a [C,K,256,3] slab-test intermediate costs 42× its
+    logical bytes (measured as the dominant cost of this op at officescene
+    scale), and a [L,4] payload 32×.
+
+    pair_cap statically truncates the SORTED pair list exactly like the
+    rasterizer's (sentinels sort last, so any cap ≥ the real pair count is
+    exact); it bounds the per-pair gathers at V·m² scale.
+    """
     fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
     R_c2w = c2w[:3, :3]
     cam_pos = c2w[:3, 3]
@@ -99,66 +124,98 @@ def first_hit_voxels_splat(centers: jax.Array,     # [V,3] world voxel centers
         centers, half, w2c, intrinsics, width, height, depth_max)
     order, rank_sorted, offsets, (tx_n, ty_n) = _bin_voxels(
         means2d, radius, depth, valid, width, height, max_tiles_per_axis)
+    if pair_cap is not None and pair_cap < rank_sorted.shape[0]:
+        rank_sorted = rank_sorted[:pair_cap]
+        offsets = jnp.minimum(offsets, pair_cap)
 
-    # depth-sorted per-voxel payload: cube min corner [3], id
-    bmin = (centers - half)[order]                               # [V,3]
-    ids_ds = voxel_ids[order].astype(jnp.float32)
-    payload = jnp.concatenate([bmin, ids_ds[:, None]], axis=1)   # [V,4]
     K = max_per_tile
-    win = payload[rank_sorted]                                   # [L,4]
     counts = jnp.minimum(offsets[1:] - offsets[:-1], K)
     slot = jnp.arange(K, dtype=jnp.int32)
-    widx = jnp.clip(offsets[:-1, None] + slot[None, :], 0, win.shape[0] - 1)
-    windows = win[widx]                                          # [T,K,4]
+    widx = jnp.clip(offsets[:-1, None] + slot[None, :], 0,
+                    rank_sorted.shape[0] - 1)                    # [T,K]
+    # voxel index per window slot — gathers COMPOSED at window granularity
+    # ([T,K] ≈ 260k slots), never materializing any per-pair [L] intermediate:
+    # an order[rank_sorted] pre-gather costs L ≈ V·m² scalar gathers (7M at
+    # officescene scale, measured +55 ms/view); rank_sorted[widx] then
+    # order[...] is ~50× fewer
+    pair_slot = rank_sorted[widx]                                # [T,K] ranks
+    win_vox = order[pair_slot]                                   # [T,K]
+    bmin_x = centers[:, 0] - half
+    bmin_y = centers[:, 1] - half
+    bmin_z = centers[:, 2] - half
+    wx = bmin_x[win_vox]                                         # [T,K]
+    wy = bmin_y[win_vox]
+    wz = bmin_z[win_vox]
+    wid = voxel_ids[win_vox]                                     # [T,K] int32
 
     num_tiles = tx_n * ty_n
-    PX = TILE * TILE
-    # per-tile pixel rays (world space, normalized like the kernel)
+    # per-tile pixel coords (flattened 16×16, row-major like the image)
     py, px = jnp.meshgrid(jnp.arange(TILE, dtype=jnp.float32),
                           jnp.arange(TILE, dtype=jnp.float32), indexing="ij")
-    pix_in_tile = jnp.stack([px.ravel(), py.ravel()], axis=1)    # [256,2]
+    pix_x = px.ravel()                                           # [256]
+    pix_y = py.ravel()
 
     inc = ray_increment
+    ox, oy, oz = cam_pos[0], cam_pos[1], cam_pos[2]
+    side = 2.0 * half
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-9,
+                               jnp.where(d < 0, -1e-9, 1e-9), d)
 
     def tile_hits(tile_ids):                                     # [C]
         cnt = counts[tile_ids]                                   # [C]
-        wnd = windows[tile_ids]                                  # [C,K,4]
+        bx = wx[tile_ids]                                        # [C,K]
+        by = wy[tile_ids]
+        bz = wz[tile_ids]
+        ids = wid[tile_ids]
         tx = (tile_ids % tx_n).astype(jnp.float32) * TILE
         ty = (tile_ids // tx_n).astype(jnp.float32) * TILE
-        pxy = pix_in_tile[None] + jnp.stack([tx, ty], 1)[:, None, :]  # [C,256,2]
         # camera-space dirs — pixel centers at integer coords like the kernel
         # (kinectProjToCamera uses (x-cx)/fx with x the integer pixel index)
-        dx = (pxy[..., 0] - cx) / fx
-        dy = (pxy[..., 1] - cy) / fy
-        d_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)
-        d_cam_n = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
-        d_world = d_cam_n @ R_c2w.T                              # [C,256,3]
-        d_world = d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
-        dz = d_cam_n[..., 2]                                     # [C,256]
-        t_min = depth_min / dz
-        t_end = depth_max / dz
+        dx = (pix_x[None] + tx[:, None] - cx) / fx               # [C,256]
+        dy = (pix_y[None] + ty[:, None] - cy) / fy
+        inv_norm = 1.0 / jnp.sqrt(dx * dx + dy * dy + 1.0)
+        dcx = dx * inv_norm                                      # [C,256]
+        dcy = dy * inv_norm
+        dcz = inv_norm
+        # d_world = R_c2w @ d_cam, renormalized (matches the previous
+        # normalize-twice sequence; R is orthonormal so the second norm ≈ 1)
+        dwx = R_c2w[0, 0] * dcx + R_c2w[0, 1] * dcy + R_c2w[0, 2] * dcz
+        dwy = R_c2w[1, 0] * dcx + R_c2w[1, 1] * dcy + R_c2w[1, 2] * dcz
+        dwz = R_c2w[2, 0] * dcx + R_c2w[2, 1] * dcy + R_c2w[2, 2] * dcz
+        inv_wn = 1.0 / jnp.sqrt(dwx * dwx + dwy * dwy + dwz * dwz)
+        dwx, dwy, dwz = dwx * inv_wn, dwy * inv_wn, dwz * inv_wn
+        t_min = depth_min / dcz                                  # [C,256]
+        t_end = depth_max / dcz
 
-        o = cam_pos                                              # [3]
-        bmin_w = wnd[..., 0:3]                                   # [C,K,3]
-        inv_d = 1.0 / jnp.where(jnp.abs(d_world) < 1e-9,
-                                jnp.where(d_world < 0, -1e-9, 1e-9), d_world)
-        # slab test: [C,K,256] per axis
-        t1 = (bmin_w[:, :, None, :] - o) * inv_d[:, None, :, :]
-        t2 = (bmin_w[:, :, None, :] + 2 * half - o) * inv_d[:, None, :, :]
-        t_entry = jnp.max(jnp.minimum(t1, t2), axis=-1)          # [C,K,256]
-        t_exit = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        # slab tests, one [C,K,256] pair per axis — no trailing component axis
+        ix = safe_inv(dwx)[:, None, :]                           # [C,1,256]
+        t1 = (bx[:, :, None] - ox) * ix
+        t2 = t1 + side * ix
+        t_entry = jnp.minimum(t1, t2)
+        t_exit = jnp.maximum(t1, t2)
+        iy = safe_inv(dwy)[:, None, :]
+        t1 = (by[:, :, None] - oy) * iy
+        t2 = t1 + side * iy
+        t_entry = jnp.maximum(t_entry, jnp.minimum(t1, t2))
+        t_exit = jnp.minimum(t_exit, jnp.maximum(t1, t2))
+        iz = safe_inv(dwz)[:, None, :]
+        t1 = (bz[:, :, None] - oz) * iz
+        t2 = t1 + side * iz
+        t_entry = jnp.maximum(t_entry, jnp.minimum(t1, t2))     # [C,K,256]
+        t_exit = jnp.minimum(t_exit, jnp.maximum(t1, t2))
 
         # first sample of the march grid inside [t_entry, t_exit]
         k = jnp.ceil((t_entry - t_min[:, None, :]) / inc)
         k = jnp.maximum(k, 0.0)
         t_s = t_min[:, None, :] + k * inc
-        live = (jnp.arange(wnd.shape[1])[None, :, None] < cnt[:, None, None])
+        live = (jnp.arange(K)[None, :, None] < cnt[:, None, None])
         hit = (t_entry <= t_exit) & (t_s <= t_exit) & live & \
               (t_s < t_end[:, None, :])
         t_s = jnp.where(hit, t_s, jnp.inf)
         best = jnp.argmin(t_s, axis=1)                           # [C,256]
         any_hit = jnp.isfinite(jnp.min(t_s, axis=1))
-        ids = wnd[..., 3].astype(jnp.int32)                      # [C,K]
         hit_id = jnp.take_along_axis(ids, best, axis=1)
         return jnp.where(any_hit, hit_id, 0)
 

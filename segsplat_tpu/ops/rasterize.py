@@ -431,7 +431,8 @@ def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
                                          dma_block=dma_block)
     else:
         sorted_gid, offsets, (tx_n, ty_n) = _bin_gaussians(
-            proj, width, height, max_tiles_per_axis, opacities=opacities)
+            proj, width, height, max_tiles_per_axis,
+            opacities=opacities if opacity_cull else None)
         img, alpha = _blend_tiles(sorted_gid, offsets, proj, colors, opacities,
                                   bg, tx_n, ty_n, max_per_tile, tile_chunk)
     return {
