@@ -142,8 +142,7 @@ def bench_lift(rtt: float) -> float:
     import jax
     import jax.numpy as jnp
 
-    from segsplat_tpu.ops.lift import scatter_features
-    from segsplat_tpu.ops.lift_splat import first_hit_voxels_splat
+    from segsplat_tpu.ops.lift_splat import lift_view_splat
 
     rng = np.random.default_rng(1)
     W, H, C = 876, 584, 512
@@ -180,10 +179,10 @@ def bench_lift(rtt: float) -> float:
             fmap = jax.image.resize(fmap.astype(jnp.float32), (C, H, W),
                                     method="bilinear")
             fmap = jnp.transpose(fmap, (1, 2, 0))
-            hits = first_hit_voxels_splat(
+            ds, dc = lift_view_splat(
                 centers_, ids_, c2w, K, jnp.asarray(vs, jnp.float32),
-                0.01, 10.0, inc, W, H, max_tiles_per_axis=8, max_per_tile=128)
-            ds, dc = scatter_features(fmap, hits, num_ids)
+                0.01, 10.0, inc, fmap, num_ids, W, H,
+                max_tiles_per_axis=8, max_per_tile=128)
             return (s + ds, c + dc), None
 
         init = (jnp.zeros((num_ids, C), jnp.float32),

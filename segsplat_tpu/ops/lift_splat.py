@@ -85,33 +85,23 @@ def _bin_voxels(means2d, radius, depth, valid, width: int, height: int,
     return _bin_gaussian_ranks(proj, width, height, max_tiles_per_axis)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "max_tiles_per_axis",
-                                   "max_per_tile", "tile_chunk", "pair_cap"))
-def first_hit_voxels_splat(centers: jax.Array,     # [V,3] world voxel centers
-                           voxel_ids: jax.Array,   # [V] int32 1-based ids
-                           c2w: jax.Array, intrinsics: jax.Array,
-                           voxel_size: jax.Array,
-                           depth_min: float, depth_max: float,
-                           ray_increment: jax.Array,
-                           width: int, height: int,
-                           max_tiles_per_axis: int = 4,
-                           max_per_tile: int = 64,
-                           tile_chunk: int = 64,
-                           pair_cap: int = None) -> jax.Array:
-    """Per-pixel first-hit voxel id via splatting. Returns [H, W] int32 (0=miss).
+def _splat_candidates(centers, voxel_ids, c2w, intrinsics, voxel_size,
+                      depth_max, width: int, height: int, m: int, K: int,
+                      pair_cap):
+    """Project + bin + per-tile candidate windows (planar [T,K] components).
 
-    LAYOUT NOTE (the 38→?? ms/view fix): every per-pair / per-candidate array
-    is kept PLANAR — separate x/y/z/id components of shape [T,K] or [C,K,256]
-    — never stacked with a trailing size-3/4 axis. TPU pads the last two dims
-    to (8,128) tiles, so a [C,K,256,3] slab-test intermediate costs 42× its
-    logical bytes (measured as the dominant cost of this op at officescene
-    scale), and a [L,4] payload 32×.
+    LAYOUT NOTES (measured at officescene scale, 38 → 30 ms/view total):
+    every per-pair / per-candidate array is PLANAR — separate x/y/z/id
+    components of shape [T,K] or [C,K,256] — never stacked with a trailing
+    size-3/4 axis (TPU pads the last two dims to (8,128) tiles: a
+    [C,K,256,3] slab intermediate costs 42× its logical bytes, a [L,4]
+    payload 32×). The pair→voxel gathers COMPOSE at window granularity
+    ([T,K] ≈ 260k slots): an order[rank_sorted] pre-gather costs L = V·m²
+    scalar gathers (7M pairs, measured +55 ms/view).
 
     pair_cap statically truncates the SORTED pair list exactly like the
     rasterizer's (sentinels sort last, so any cap ≥ the real pair count is
-    exact); it bounds the per-pair gathers at V·m² scale.
-    """
-    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    exact)."""
     R_c2w = c2w[:3, :3]
     cam_pos = c2w[:3, 3]
     w2c = jnp.zeros((4, 4), jnp.float32)
@@ -123,38 +113,39 @@ def first_hit_voxels_splat(centers: jax.Array,     # [V,3] world voxel centers
     means2d, radius, depth, valid = _project_voxels(
         centers, half, w2c, intrinsics, width, height, depth_max)
     order, rank_sorted, offsets, (tx_n, ty_n) = _bin_voxels(
-        means2d, radius, depth, valid, width, height, max_tiles_per_axis)
+        means2d, radius, depth, valid, width, height, m)
     if pair_cap is not None and pair_cap < rank_sorted.shape[0]:
         rank_sorted = rank_sorted[:pair_cap]
         offsets = jnp.minimum(offsets, pair_cap)
 
-    K = max_per_tile
     counts = jnp.minimum(offsets[1:] - offsets[:-1], K)
     slot = jnp.arange(K, dtype=jnp.int32)
     widx = jnp.clip(offsets[:-1, None] + slot[None, :], 0,
                     rank_sorted.shape[0] - 1)                    # [T,K]
-    # voxel index per window slot — gathers COMPOSED at window granularity
-    # ([T,K] ≈ 260k slots), never materializing any per-pair [L] intermediate:
-    # an order[rank_sorted] pre-gather costs L ≈ V·m² scalar gathers (7M at
-    # officescene scale, measured +55 ms/view); rank_sorted[widx] then
-    # order[...] is ~50× fewer
     pair_slot = rank_sorted[widx]                                # [T,K] ranks
     win_vox = order[pair_slot]                                   # [T,K]
-    bmin_x = centers[:, 0] - half
-    bmin_y = centers[:, 1] - half
-    bmin_z = centers[:, 2] - half
-    wx = bmin_x[win_vox]                                         # [T,K]
-    wy = bmin_y[win_vox]
-    wz = bmin_z[win_vox]
+    wx = (centers[:, 0] - half)[win_vox]                         # [T,K]
+    wy = (centers[:, 1] - half)[win_vox]
+    wz = (centers[:, 2] - half)[win_vox]
     wid = voxel_ids[win_vox]                                     # [T,K] int32
+    return dict(counts=counts, wx=wx, wy=wy, wz=wz, wid=wid,
+                tx_n=tx_n, ty_n=ty_n, R_c2w=R_c2w, cam_pos=cam_pos, half=half)
 
-    num_tiles = tx_n * ty_n
+
+def _make_tile_best(cand, intrinsics, depth_min, depth_max, ray_increment,
+                    K: int):
+    """Returns tile_ids [C] → (best [C,256] argmin slot, any_hit [C,256],
+    ids [C,K]) — the per-tile exact slab-test / first-march-sample core."""
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    R_c2w, cam_pos, half = cand["R_c2w"], cand["cam_pos"], cand["half"]
+    counts, tx_n = cand["counts"], cand["tx_n"]
+    wx, wy, wz, wid = cand["wx"], cand["wy"], cand["wz"], cand["wid"]
+
     # per-tile pixel coords (flattened 16×16, row-major like the image)
-    py, px = jnp.meshgrid(jnp.arange(TILE, dtype=jnp.float32),
-                          jnp.arange(TILE, dtype=jnp.float32), indexing="ij")
-    pix_x = px.ravel()                                           # [256]
-    pix_y = py.ravel()
-
+    pyg, pxg = jnp.meshgrid(jnp.arange(TILE, dtype=jnp.float32),
+                            jnp.arange(TILE, dtype=jnp.float32), indexing="ij")
+    pix_x = pxg.ravel()                                          # [256]
+    pix_y = pyg.ravel()
     inc = ray_increment
     ox, oy, oz = cam_pos[0], cam_pos[1], cam_pos[2]
     side = 2.0 * half
@@ -163,7 +154,7 @@ def first_hit_voxels_splat(centers: jax.Array,     # [V,3] world voxel centers
         return 1.0 / jnp.where(jnp.abs(d) < 1e-9,
                                jnp.where(d < 0, -1e-9, 1e-9), d)
 
-    def tile_hits(tile_ids):                                     # [C]
+    def tile_best(tile_ids):                                     # [C]
         cnt = counts[tile_ids]                                   # [C]
         bx = wx[tile_ids]                                        # [C,K]
         by = wy[tile_ids]
@@ -216,6 +207,37 @@ def first_hit_voxels_splat(centers: jax.Array,     # [V,3] world voxel centers
         t_s = jnp.where(hit, t_s, jnp.inf)
         best = jnp.argmin(t_s, axis=1)                           # [C,256]
         any_hit = jnp.isfinite(jnp.min(t_s, axis=1))
+        return best, any_hit, ids
+
+    return tile_best
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_tiles_per_axis",
+                                   "max_per_tile", "tile_chunk", "pair_cap"))
+def first_hit_voxels_splat(centers: jax.Array,     # [V,3] world voxel centers
+                           voxel_ids: jax.Array,   # [V] int32 1-based ids
+                           c2w: jax.Array, intrinsics: jax.Array,
+                           voxel_size: jax.Array,
+                           depth_min: float, depth_max: float,
+                           ray_increment: jax.Array,
+                           width: int, height: int,
+                           max_tiles_per_axis: int = 4,
+                           max_per_tile: int = 64,
+                           tile_chunk: int = 64,
+                           pair_cap: int = None) -> jax.Array:
+    """Per-pixel first-hit voxel id via splatting. Returns [H, W] int32
+    (0=miss). See _splat_candidates for the layout design notes."""
+    K = max_per_tile
+    cand = _splat_candidates(centers, voxel_ids, c2w, intrinsics, voxel_size,
+                             depth_max, width, height, max_tiles_per_axis, K,
+                             pair_cap)
+    tile_best = _make_tile_best(cand, intrinsics, depth_min, depth_max,
+                                ray_increment, K)
+    tx_n, ty_n = cand["tx_n"], cand["ty_n"]
+    num_tiles = tx_n * ty_n
+
+    def tile_hits(tile_ids):
+        best, any_hit, ids = tile_best(tile_ids)
         hit_id = jnp.take_along_axis(ids, best, axis=1)
         return jnp.where(any_hit, hit_id, 0)
 
@@ -227,3 +249,92 @@ def first_hit_voxels_splat(centers: jax.Array,     # [V,3] world voxel centers
     img = out.reshape(ty_n, tx_n, TILE, TILE).transpose(0, 2, 1, 3)
     img = img.reshape(ty_n * TILE, tx_n * TILE)
     return img[:height, :width]
+
+
+@partial(jax.jit, static_argnames=("num_ids", "width", "height",
+                                   "max_tiles_per_axis", "max_per_tile",
+                                   "tile_chunk", "pair_cap"))
+def lift_view_splat(centers: jax.Array, voxel_ids: jax.Array,
+                    c2w: jax.Array, intrinsics: jax.Array,
+                    voxel_size: jax.Array,
+                    depth_min: float, depth_max: float,
+                    ray_increment: jax.Array,
+                    features_hwc: jax.Array,       # [H,W,C] float
+                    num_ids: int, width: int, height: int,
+                    max_tiles_per_axis: int = 4,
+                    max_per_tile: int = 64,
+                    tile_chunk: int = 64,
+                    pair_cap: int = None) -> Tuple[jax.Array, jax.Array]:
+    """Fused first-hit + feature accumulation for one view.
+
+    Instead of materializing the [H,W] hit image and scatter-adding 512k
+    pixel rows (XLA scatter-add is pinned at ~21 ms/view regardless of id
+    coherence or pre-sorting — measured), each tile MXU-contracts its pixels'
+    one-hot hit assignment [K,256] against its feature block [256,C],
+    yielding per-candidate partials [K,C]; one segment_sum over the T·K
+    (~260k) window slots then merges duplicates across tiles. Summation
+    groups by (tile, candidate) instead of pixel raster order — identical
+    sets of terms, float-associativity differences only.
+
+    Returns (sums [num_ids, C] f32, counts [num_ids] i32) like
+    ops.lift.scatter_features.
+    """
+    K = max_per_tile
+    CH = features_hwc.shape[-1]
+    cand = _splat_candidates(centers, voxel_ids, c2w, intrinsics, voxel_size,
+                             depth_max, width, height, max_tiles_per_axis, K,
+                             pair_cap)
+    tile_best = _make_tile_best(cand, intrinsics, depth_min, depth_max,
+                                ray_increment, K)
+    tx_n, ty_n = cand["tx_n"], cand["ty_n"]
+    num_tiles = tx_n * ty_n
+    PX = TILE * TILE
+
+    fpad = jnp.pad(features_hwc.astype(jnp.float32),
+                   ((0, ty_n * TILE - height), (0, tx_n * TILE - width),
+                    (0, 0)))
+    ftiles = fpad.reshape(ty_n, TILE, tx_n, TILE, CH)
+    ftiles = ftiles.transpose(0, 2, 1, 3, 4).reshape(num_tiles, PX, CH)
+
+    # in-bounds pixel mask per tile column/row (pad tiles hang off the edges)
+    pyg, pxg = jnp.meshgrid(jnp.arange(TILE, dtype=jnp.int32),
+                            jnp.arange(TILE, dtype=jnp.int32), indexing="ij")
+    pix_xi = pxg.ravel()                                          # [256]
+    pix_yi = pyg.ravel()
+
+    def tile_partials(tile_ids):                                  # [C]
+        best, any_hit, _ = tile_best(tile_ids)                    # [C,256]
+        tx = (tile_ids % tx_n) * TILE
+        ty = (tile_ids // tx_n) * TILE
+        inb = ((pix_xi[None] + tx[:, None] < width)
+               & (pix_yi[None] + ty[:, None] < height))           # [C,256]
+        sel = any_hit & inb
+        oh = ((jnp.arange(K, dtype=jnp.int32)[None, :, None]
+               == best[:, None, :])
+              & sel[:, None, :]).astype(jnp.float32)              # [C,K,256]
+        ft = ftiles[tile_ids]                                     # [C,256,CH]
+        part = jax.lax.dot_general(
+            oh, ft, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)                   # [C,K,CH]
+        cnt = jnp.sum(oh, axis=2).astype(jnp.int32)               # [C,K]
+        return part, cnt
+
+    tile_partials = jax.checkpoint(tile_partials)
+    pad = (-num_tiles) % tile_chunk
+    all_tiles = jnp.arange(num_tiles + pad, dtype=jnp.int32) % num_tiles
+    parts, cnts = jax.lax.map(tile_partials,
+                              all_tiles.reshape(-1, tile_chunk))
+    parts = parts.reshape(num_tiles + pad, K, CH)[:num_tiles]     # [T,K,CH]
+    cnts = cnts.reshape(num_tiles + pad, K)[:num_tiles]           # [T,K]
+    # pad-duplicate tiles (all_tiles wraps with % num_tiles) are sliced off
+    # above, so each real tile contributes exactly once
+    seg = cand["wid"].reshape(-1)                                 # [T·K]
+    sums = jax.ops.segment_sum(parts.reshape(-1, CH), seg,
+                               num_segments=num_ids)
+    counts = jax.ops.segment_sum(cnts.reshape(-1), seg,
+                                 num_segments=num_ids)
+    # row 0 collects misses in scatter_features; here missed pixels are
+    # simply absent, so zero row 0 for an identical contract
+    sums = sums.at[0].set(0.0)
+    counts = counts.at[0].set(0)
+    return sums, counts

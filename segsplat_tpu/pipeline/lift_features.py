@@ -174,12 +174,17 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
                                 method="bilinear")
         fmap = jnp.transpose(fmap, (1, 2, 0))
         if cfg.method == "splat":
-            hits = first_hit_voxels_splat(
+            # fused first-hit + tile-level MXU accumulation — avoids the
+            # [H,W] hit image + 512k-row XLA scatter (measured ~21 ms/view
+            # flat, see ops/lift_splat.lift_view_splat)
+            from segsplat_tpu.ops.lift_splat import lift_view_splat
+            ds, dc = lift_view_splat(
                 snap_centers, snap_ids, c2w, K,
                 jnp.asarray(vs, jnp.float32), cfg.depth_min, cfg.depth_max,
-                jnp.asarray(inc, jnp.float32), W, H,
+                jnp.asarray(inc, jnp.float32), fmap, num_ids, W, H,
                 max_tiles_per_axis=cfg.splat_max_tiles_per_axis,
                 max_per_tile=cfg.splat_max_per_tile)
+            return (s + ds, c + dc), None
         else:
             hits = first_hit_voxels(occ, c2w, K,
                                     jnp.asarray(occ_origin, jnp.float32),

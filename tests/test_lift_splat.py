@@ -61,3 +61,42 @@ def test_splat_matches_dda(rng, view):
     # fp boundary cases (grazing rays, cube-face hits) may differ; require
     # near-exact agreement
     assert agree > 0.97, f"only {agree:.3f} agreement"
+
+
+def test_fused_lift_matches_hits_plus_scatter(rng):
+    """lift_view_splat (tile-level MXU one-hot accumulation) must equal
+    first_hit_voxels_splat + scatter_features up to f32 associativity."""
+    from segsplat_tpu.ops.lift import scatter_features
+    from segsplat_tpu.ops.lift_splat import lift_view_splat
+
+    occ = _scene(rng)
+    vs = 0.22
+    origin = np.array([-1.3, -0.9, -1.1], np.float32)
+    W, H, C = 48, 40, 24
+    fx = fy = 45.0
+    intr = jnp.asarray([fx, fy, W / 2, H / 2], jnp.float32)
+    c2w = jnp.asarray(_cam(1, 3))
+    inc = vs * 0.5
+
+    coords = np.argwhere(occ > 0)
+    ids = occ[coords[:, 0], coords[:, 1], coords[:, 2]].astype(np.int32)
+    centers = coords[:, ::-1].astype(np.float32) * vs + origin
+    num_ids = int(ids.max()) + 1
+    feats = jnp.asarray(rng.random((H, W, C)).astype(np.float32))
+
+    kw = dict(max_tiles_per_axis=4, max_per_tile=64, tile_chunk=4)
+    hits = first_hit_voxels_splat(
+        jnp.asarray(centers), jnp.asarray(ids), c2w, intr,
+        jnp.asarray(vs, jnp.float32), 0.05, 8.0,
+        jnp.asarray(inc, jnp.float32), W, H, **kw)
+    ref_sums, ref_counts = scatter_features(feats, hits, num_ids)
+
+    sums, counts = lift_view_splat(
+        jnp.asarray(centers), jnp.asarray(ids), c2w, intr,
+        jnp.asarray(vs, jnp.float32), 0.05, 8.0,
+        jnp.asarray(inc, jnp.float32), feats, num_ids, W, H, **kw)
+
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_counts))
+    np.testing.assert_allclose(np.asarray(sums), np.asarray(ref_sums),
+                               rtol=1e-5, atol=1e-5)
+    assert int(np.asarray(counts).sum()) > 0
