@@ -85,9 +85,85 @@ def _bin_voxels(means2d, radius, depth, valid, width: int, height: int,
     return _bin_gaussian_ranks(proj, width, height, max_tiles_per_axis)
 
 
+def _bin_voxels_dual(means2d, radius, depth, valid, width: int, height: int,
+                     max_tiles_per_axis: int, big_budget: int,
+                     m_small: int = 2):
+    """Two-class binning: voxel footprints are heavily skewed — at lift scale
+    almost every voxel spans ≤ m_small tiles per axis, but a single-pass bin
+    must emit m² pair slots for ALL of them (7M pairs for m=8 at officescene
+    scale; the u32 pair sort alone is ~7 ms/view). Here every voxel emits
+    only m_small² slots, except a ``big_budget``-sized set (selected by
+    footprint span, descending) that emits the full m² — one concatenated
+    packed-key sort keeps the downstream contract identical.
+
+    EXACT whenever at most ``big_budget`` voxels span > m_small tiles (the
+    selection takes the largest spans first, and a small voxel selected into
+    the big set is still exact — m² covers its AABB too). Overflowing big
+    voxels degrade to the top-left m_small×m_small of their AABB; size the
+    budget for the scene (default V/8 ≈ 8× headroom over typical scenes).
+    Falls back to the single-pass bin when the packed key exceeds 32 bits.
+    """
+    import math
+
+    from segsplat_tpu.ops.rasterize import TILE as RTILE
+
+    tx_n = -(-width // RTILE)
+    ty_n = -(-height // RTILE)
+    num_tiles = tx_n * ty_n
+    n = means2d.shape[0]
+    m = max_tiles_per_axis
+    rank_bits = max(int(math.ceil(math.log2(max(n, 2)))), 1)
+    tile_bits = max(int(math.ceil(math.log2(num_tiles + 2))), 1)
+    if rank_bits + tile_bits > 32 or m <= m_small:
+        return _bin_voxels(means2d, radius, depth, valid, width, height, m)
+
+    depth_key = jnp.where(valid, depth, jnp.inf)
+    order = jnp.argsort(depth_key)                               # front-to-back
+    m2d = means2d[order]
+    rad = jnp.where(valid, radius, 0.0)[order]
+    val = valid[order]
+
+    x0 = jnp.clip(jnp.floor((m2d[:, 0] - rad) / RTILE), 0, tx_n - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((m2d[:, 1] - rad) / RTILE), 0, ty_n - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((m2d[:, 0] + rad) / RTILE), 0, tx_n - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((m2d[:, 1] + rad) / RTILE), 0, ty_n - 1).astype(jnp.int32)
+    span = jnp.maximum(x1 - x0, y1 - y0)                         # [N] tiles-1
+
+    B = min(big_budget, n)
+    sel_pos = jnp.argsort(-jnp.where(val, span, -1))[:B]         # depth ranks
+    selected = jnp.zeros((n,), bool).at[sel_pos].set(True)
+
+    def emit(mm, x0_, y0_, x1_, y1_, active):
+        di = jnp.arange(mm, dtype=jnp.int32)
+        dx = jnp.tile(di, mm)                                    # [mm²]
+        dy = jnp.repeat(di, mm)
+        txs = x0_[None, :] + dx[:, None]                         # [mm², ·]
+        tys = y0_[None, :] + dy[:, None]
+        in_rect = (txs <= x1_[None, :]) & (tys <= y1_[None, :]) & active[None, :]
+        return jnp.where(in_rect, tys * tx_n + txs, num_tiles)
+
+    tid_small = emit(m_small, x0, y0, x1, y1, val & ~selected)   # [ms², N]
+    rank = jnp.arange(n, dtype=jnp.uint32)
+    keys_small = ((tid_small.astype(jnp.uint32) << rank_bits)
+                  | rank[None, :]).reshape(-1)
+
+    xb0, yb0 = x0[sel_pos], y0[sel_pos]
+    xb1, yb1 = x1[sel_pos], y1[sel_pos]
+    tid_big = emit(m, xb0, yb0, xb1, yb1, val[sel_pos])          # [m², B]
+    keys_big = ((tid_big.astype(jnp.uint32) << rank_bits)
+                | sel_pos.astype(jnp.uint32)[None, :]).reshape(-1)
+
+    skey = jax.lax.sort(jnp.concatenate([keys_small, keys_big]), dimension=0)
+    rank_sorted = (skey & jnp.uint32((1 << rank_bits) - 1)).astype(jnp.int32)
+    probes = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits)
+    offsets = jnp.searchsorted(skey, probes).astype(jnp.int32)
+    return order, rank_sorted, offsets, (tx_n, ty_n)
+
+
 def _splat_candidates(centers, voxel_ids, c2w, intrinsics, voxel_size,
                       depth_max, width: int, height: int, m: int, K: int,
-                      pair_cap):
+                      pair_cap, dual_bin: bool = True,
+                      big_budget: int = None):
     """Project + bin + per-tile candidate windows (planar [T,K] components).
 
     LAYOUT NOTES (measured at officescene scale, 38 → 30 ms/view total):
@@ -112,8 +188,13 @@ def _splat_candidates(centers, voxel_ids, c2w, intrinsics, voxel_size,
     half = voxel_size * 0.5
     means2d, radius, depth, valid = _project_voxels(
         centers, half, w2c, intrinsics, width, height, depth_max)
-    order, rank_sorted, offsets, (tx_n, ty_n) = _bin_voxels(
-        means2d, radius, depth, valid, width, height, m)
+    if dual_bin:
+        order, rank_sorted, offsets, (tx_n, ty_n) = _bin_voxels_dual(
+            means2d, radius, depth, valid, width, height, m,
+            big_budget or max(centers.shape[0] // 8, 1024))
+    else:
+        order, rank_sorted, offsets, (tx_n, ty_n) = _bin_voxels(
+            means2d, radius, depth, valid, width, height, m)
     if pair_cap is not None and pair_cap < rank_sorted.shape[0]:
         rank_sorted = rank_sorted[:pair_cap]
         offsets = jnp.minimum(offsets, pair_cap)
@@ -213,7 +294,8 @@ def _make_tile_best(cand, intrinsics, depth_min, depth_max, ray_increment,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_tiles_per_axis",
-                                   "max_per_tile", "tile_chunk", "pair_cap"))
+                                   "max_per_tile", "tile_chunk", "pair_cap",
+                                   "dual_bin", "big_budget"))
 def first_hit_voxels_splat(centers: jax.Array,     # [V,3] world voxel centers
                            voxel_ids: jax.Array,   # [V] int32 1-based ids
                            c2w: jax.Array, intrinsics: jax.Array,
@@ -224,13 +306,16 @@ def first_hit_voxels_splat(centers: jax.Array,     # [V,3] world voxel centers
                            max_tiles_per_axis: int = 4,
                            max_per_tile: int = 64,
                            tile_chunk: int = 64,
-                           pair_cap: int = None) -> jax.Array:
+                           pair_cap: int = None,
+                           dual_bin: bool = True,
+                           big_budget: int = None) -> jax.Array:
     """Per-pixel first-hit voxel id via splatting. Returns [H, W] int32
-    (0=miss). See _splat_candidates for the layout design notes."""
+    (0=miss). See _splat_candidates for the layout design notes and
+    _bin_voxels_dual for the dual_bin/big_budget exactness contract."""
     K = max_per_tile
     cand = _splat_candidates(centers, voxel_ids, c2w, intrinsics, voxel_size,
                              depth_max, width, height, max_tiles_per_axis, K,
-                             pair_cap)
+                             pair_cap, dual_bin, big_budget)
     tile_best = _make_tile_best(cand, intrinsics, depth_min, depth_max,
                                 ray_increment, K)
     tx_n, ty_n = cand["tx_n"], cand["ty_n"]
@@ -253,7 +338,8 @@ def first_hit_voxels_splat(centers: jax.Array,     # [V,3] world voxel centers
 
 @partial(jax.jit, static_argnames=("num_ids", "width", "height",
                                    "max_tiles_per_axis", "max_per_tile",
-                                   "tile_chunk", "pair_cap"))
+                                   "tile_chunk", "pair_cap", "dual_bin",
+                                   "big_budget"))
 def lift_view_splat(centers: jax.Array, voxel_ids: jax.Array,
                     c2w: jax.Array, intrinsics: jax.Array,
                     voxel_size: jax.Array,
@@ -264,7 +350,9 @@ def lift_view_splat(centers: jax.Array, voxel_ids: jax.Array,
                     max_tiles_per_axis: int = 4,
                     max_per_tile: int = 64,
                     tile_chunk: int = 64,
-                    pair_cap: int = None) -> Tuple[jax.Array, jax.Array]:
+                    pair_cap: int = None,
+                    dual_bin: bool = True,
+                    big_budget: int = None) -> Tuple[jax.Array, jax.Array]:
     """Fused first-hit + feature accumulation for one view.
 
     Instead of materializing the [H,W] hit image and scatter-adding 512k
@@ -283,7 +371,7 @@ def lift_view_splat(centers: jax.Array, voxel_ids: jax.Array,
     CH = features_hwc.shape[-1]
     cand = _splat_candidates(centers, voxel_ids, c2w, intrinsics, voxel_size,
                              depth_max, width, height, max_tiles_per_axis, K,
-                             pair_cap)
+                             pair_cap, dual_bin, big_budget)
     tile_best = _make_tile_best(cand, intrinsics, depth_min, depth_max,
                                 ray_increment, K)
     tx_n, ty_n = cand["tx_n"], cand["ty_n"]

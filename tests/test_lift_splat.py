@@ -100,3 +100,63 @@ def test_fused_lift_matches_hits_plus_scatter(rng):
     np.testing.assert_allclose(np.asarray(sums), np.asarray(ref_sums),
                                rtol=1e-5, atol=1e-5)
     assert int(np.asarray(counts).sum()) > 0
+
+
+@pytest.mark.parametrize("view", [0, 2])
+def test_dual_bin_matches_single(rng, view):
+    """Dual-class binning (m_small=2 + selected big set) must reproduce the
+    single-pass m×m binning exactly, including close-up cameras with
+    multi-tile voxel footprints."""
+    occ = _scene(rng)
+    vs = 0.22
+    origin = np.array([-1.3, -0.9, -1.1], np.float32)
+    W, H = 64, 48
+    fx = fy = 70.0          # bigger focal → near voxels span several tiles
+    intr = jnp.asarray([fx, fy, W / 2, H / 2], jnp.float32)
+    c2w = jnp.asarray(_cam(view, 3))
+    # pull the camera in closer to force big footprints
+    c2w = c2w.at[:3, 3].multiply(0.6)
+    inc = vs * 0.5
+
+    coords = np.argwhere(occ > 0)
+    ids = occ[coords[:, 0], coords[:, 1], coords[:, 2]].astype(np.int32)
+    centers = coords[:, ::-1].astype(np.float32) * vs + origin
+
+    kw = dict(max_tiles_per_axis=6, max_per_tile=128, tile_chunk=4)
+    args = (jnp.asarray(centers), jnp.asarray(ids), c2w, intr,
+            jnp.asarray(vs, jnp.float32), 0.05, 8.0,
+            jnp.asarray(inc, jnp.float32), W, H)
+    single = np.asarray(first_hit_voxels_splat(*args, dual_bin=False, **kw))
+    dual = np.asarray(first_hit_voxels_splat(*args, dual_bin=True,
+                                             big_budget=len(ids) // 2, **kw))
+    assert (single > 0).sum() > 100
+    np.testing.assert_array_equal(dual, single)
+
+
+def test_dual_bin_fused_sums_match(rng):
+    """Fused lift with dual binning == fused lift with single-pass binning
+    (no pair may be emitted twice — double emission would double-count)."""
+    from segsplat_tpu.ops.lift_splat import lift_view_splat
+
+    occ = _scene(rng)
+    vs = 0.22
+    origin = np.array([-1.3, -0.9, -1.1], np.float32)
+    W, H, C = 48, 40, 16
+    intr = jnp.asarray([45.0, 45.0, W / 2, H / 2], jnp.float32)
+    c2w = jnp.asarray(_cam(0, 3))
+    inc = vs * 0.5
+    coords = np.argwhere(occ > 0)
+    ids = occ[coords[:, 0], coords[:, 1], coords[:, 2]].astype(np.int32)
+    centers = coords[:, ::-1].astype(np.float32) * vs + origin
+    num_ids = int(ids.max()) + 1
+    feats = jnp.asarray(rng.random((H, W, C)).astype(np.float32))
+
+    kw = dict(max_tiles_per_axis=4, max_per_tile=64, tile_chunk=4)
+    args = (jnp.asarray(centers), jnp.asarray(ids), c2w, intr,
+            jnp.asarray(vs, jnp.float32), 0.05, 8.0,
+            jnp.asarray(inc, jnp.float32), feats, num_ids, W, H)
+    s1, c1 = lift_view_splat(*args, dual_bin=False, **kw)
+    s2, c2 = lift_view_splat(*args, dual_bin=True, **kw)
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(c1))
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                               rtol=1e-6, atol=1e-6)
