@@ -179,7 +179,7 @@ def bench_lift(rtt: float) -> float:
             fmap = jax.image.resize(fmap.astype(jnp.float32), (C, H, W),
                                     method="bilinear")
             fmap = jnp.transpose(fmap, (1, 2, 0))
-            ds, dc = lift_view_splat(
+            ds, dc, _of = lift_view_splat(
                 centers_, ids_, c2w, K, jnp.asarray(vs, jnp.float32),
                 0.01, 10.0, inc, fmap, num_ids, W, H,
                 max_tiles_per_axis=8, max_per_tile=128)

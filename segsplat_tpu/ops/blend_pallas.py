@@ -203,8 +203,9 @@ def blend_tiles_pallas_dma(offsets: jax.Array,   # [T+1] int32 run starts (pairs
     # body block default 256: at K=256 the single 256-row block beat two
     # 128-row blocks by 1.3 ms/frame at bench scale (fewer early-exit cond
     # branches, deeper MXU contraction) — early exit only pays when a tile
-    # saturates well before the window ends.
-    g_block = g_block or min(256, k_max)
+    # saturates well before the window ends. k_max values that are multiples
+    # of 128 but not 256 (e.g. 384) fall back to 128-row blocks.
+    g_block = g_block or (256 if k_max % 256 == 0 else 128)
     assert k_max % g_block == 0, f"k_max must be a multiple of {g_block}"
     dma_block = dma_block or k_max          # default: one full-window DMA
     assert k_max % dma_block == 0, f"k_max must be a multiple of {dma_block}"

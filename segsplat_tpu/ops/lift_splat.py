@@ -115,7 +115,9 @@ def _bin_voxels_dual(means2d, radius, depth, valid, width: int, height: int,
     rank_bits = max(int(math.ceil(math.log2(max(n, 2)))), 1)
     tile_bits = max(int(math.ceil(math.log2(num_tiles + 2))), 1)
     if rank_bits + tile_bits > 32 or m <= m_small:
-        return _bin_voxels(means2d, radius, depth, valid, width, height, m)
+        o, r, off, dims = _bin_voxels(means2d, radius, depth, valid, width,
+                                      height, m)
+        return o, r, off, dims, jnp.int32(0)
 
     depth_key = jnp.where(valid, depth, jnp.inf)
     order = jnp.argsort(depth_key)                               # front-to-back
@@ -132,6 +134,11 @@ def _bin_voxels_dual(means2d, radius, depth, valid, width: int, height: int,
     B = min(big_budget, n)
     sel_pos = jnp.argsort(-jnp.where(val, span, -1))[:B]         # depth ranks
     selected = jnp.zeros((n,), bool).at[sel_pos].set(True)
+    # voxels spanning > m_small tiles that did NOT fit the big budget — their
+    # coverage silently truncates to the top-left m_small^2 tiles; callers
+    # surface this count (lift_view_splat third output) so it never corrupts
+    # a lift unnoticed
+    overflow = jnp.sum(((span >= m_small) & val & ~selected).astype(jnp.int32))
 
     def emit(mm, x0_, y0_, x1_, y1_, active):
         di = jnp.arange(mm, dtype=jnp.int32)
@@ -157,7 +164,7 @@ def _bin_voxels_dual(means2d, radius, depth, valid, width: int, height: int,
     rank_sorted = (skey & jnp.uint32((1 << rank_bits) - 1)).astype(jnp.int32)
     probes = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << rank_bits)
     offsets = jnp.searchsorted(skey, probes).astype(jnp.int32)
-    return order, rank_sorted, offsets, (tx_n, ty_n)
+    return order, rank_sorted, offsets, (tx_n, ty_n), overflow
 
 
 def _splat_candidates(centers, voxel_ids, c2w, intrinsics, voxel_size,
@@ -189,12 +196,13 @@ def _splat_candidates(centers, voxel_ids, c2w, intrinsics, voxel_size,
     means2d, radius, depth, valid = _project_voxels(
         centers, half, w2c, intrinsics, width, height, depth_max)
     if dual_bin:
-        order, rank_sorted, offsets, (tx_n, ty_n) = _bin_voxels_dual(
+        order, rank_sorted, offsets, (tx_n, ty_n), overflow = _bin_voxels_dual(
             means2d, radius, depth, valid, width, height, m,
             big_budget or max(centers.shape[0] // 8, 1024))
     else:
         order, rank_sorted, offsets, (tx_n, ty_n) = _bin_voxels(
             means2d, radius, depth, valid, width, height, m)
+        overflow = jnp.int32(0)
     if pair_cap is not None and pair_cap < rank_sorted.shape[0]:
         rank_sorted = rank_sorted[:pair_cap]
         offsets = jnp.minimum(offsets, pair_cap)
@@ -210,7 +218,8 @@ def _splat_candidates(centers, voxel_ids, c2w, intrinsics, voxel_size,
     wz = (centers[:, 2] - half)[win_vox]
     wid = voxel_ids[win_vox]                                     # [T,K] int32
     return dict(counts=counts, wx=wx, wy=wy, wz=wz, wid=wid,
-                tx_n=tx_n, ty_n=ty_n, R_c2w=R_c2w, cam_pos=cam_pos, half=half)
+                tx_n=tx_n, ty_n=ty_n, R_c2w=R_c2w, cam_pos=cam_pos, half=half,
+                bin_overflow=overflow)
 
 
 def _make_tile_best(cand, intrinsics, depth_min, depth_max, ray_increment,
@@ -352,7 +361,8 @@ def lift_view_splat(centers: jax.Array, voxel_ids: jax.Array,
                     tile_chunk: int = 64,
                     pair_cap: int = None,
                     dual_bin: bool = True,
-                    big_budget: int = None) -> Tuple[jax.Array, jax.Array]:
+                    big_budget: int = None
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused first-hit + feature accumulation for one view.
 
     Instead of materializing the [H,W] hit image and scatter-adding 512k
@@ -364,8 +374,10 @@ def lift_view_splat(centers: jax.Array, voxel_ids: jax.Array,
     groups by (tile, candidate) instead of pixel raster order — identical
     sets of terms, float-associativity differences only.
 
-    Returns (sums [num_ids, C] f32, counts [num_ids] i32) like
-    ops.lift.scatter_features.
+    Returns (sums [num_ids, C] f32, counts [num_ids] i32, bin_overflow i32
+    scalar). bin_overflow counts big-footprint voxels that exceeded
+    dual_bin's big_budget this view (coverage truncated — raise big_budget
+    or disable dual_bin if ever nonzero); 0 when dual_bin=False.
     """
     K = max_per_tile
     CH = features_hwc.shape[-1]
@@ -425,4 +437,4 @@ def lift_view_splat(centers: jax.Array, voxel_ids: jax.Array,
     # simply absent, so zero row 0 for an identical contract
     sums = sums.at[0].set(0.0)
     counts = counts.at[0].set(0)
-    return sums, counts
+    return sums, counts, cand["bin_overflow"]

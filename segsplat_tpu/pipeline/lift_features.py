@@ -57,6 +57,8 @@ class LiftConfig:
     #                                    "dda" (exact kernel transcription)
     splat_max_tiles_per_axis: int = 8
     splat_max_per_tile: int = 128
+    splat_big_budget: int = 0          # dual-bin big-voxel budget (0 = V/8);
+    #                                    overflow is surfaced as a [WARN]
 
 
 def load_camera_json(path: str) -> Tuple[Dict[str, dict], Dict[str, list]]:
@@ -168,7 +170,7 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
     steps = default_max_steps(W, H, fx, fx, cfg.depth_min, cfg.depth_max, inc)
 
     def one(carry, view):
-        s, c = carry
+        s, c, of = carry
         fmap, c2w, K = view
         fmap = jax.image.resize(fmap.astype(jnp.float32), (C, H, W),
                                 method="bilinear")
@@ -178,13 +180,14 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
             # [H,W] hit image + 512k-row XLA scatter (measured ~21 ms/view
             # flat, see ops/lift_splat.lift_view_splat)
             from segsplat_tpu.ops.lift_splat import lift_view_splat
-            ds, dc = lift_view_splat(
+            ds, dc, dof = lift_view_splat(
                 snap_centers, snap_ids, c2w, K,
                 jnp.asarray(vs, jnp.float32), cfg.depth_min, cfg.depth_max,
                 jnp.asarray(inc, jnp.float32), fmap, num_ids, W, H,
                 max_tiles_per_axis=cfg.splat_max_tiles_per_axis,
-                max_per_tile=cfg.splat_max_per_tile)
-            return (s + ds, c + dc), None
+                max_per_tile=cfg.splat_max_per_tile,
+                big_budget=cfg.splat_big_budget or None)
+            return (s + ds, c + dc, jnp.maximum(of, dof)), None
         else:
             hits = first_hit_voxels(occ, c2w, K,
                                     jnp.asarray(occ_origin, jnp.float32),
@@ -193,7 +196,7 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
                                     jnp.asarray(inc, jnp.float32),
                                     W, H, steps)
         ds, dc = scatter_features(fmap, hits, num_ids)
-        return (s + ds, c + dc), None
+        return (s + ds, c + dc, of), None
 
     if mesh is not None and mesh.devices.size > 1:
         # SPMD: shard each view chunk over the mesh's view axis; every chip
@@ -216,25 +219,30 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
             @partial(
                 jax.shard_map, mesh=mesh,
                 in_specs=(P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS)),
-                out_specs=(P(), P()))
+                out_specs=(P(), P(), P()))
             def run(feats_l, c2w_l, intr_l):
                 init = (jax.lax.pcast(jnp.zeros((num_ids, C), jnp.float32),
                                       (VIEW_AXIS,), to="varying"),
                         jax.lax.pcast(jnp.zeros((num_ids,), jnp.int32),
-                                      (VIEW_AXIS,), to="varying"))
-                (s, c), _ = jax.lax.scan(one, init, (feats_l, c2w_l, intr_l))
+                                      (VIEW_AXIS,), to="varying"),
+                        jax.lax.pcast(jnp.int32(0), (VIEW_AXIS,),
+                                      to="varying"))
+                (s, c, of), _ = jax.lax.scan(one, init,
+                                             (feats_l, c2w_l, intr_l))
                 return (jax.lax.psum(s, VIEW_AXIS),
-                        jax.lax.psum(c, VIEW_AXIS))
+                        jax.lax.psum(c, VIEW_AXIS),
+                        jax.lax.pmax(of, VIEW_AXIS))
 
-            ds, dc = run(feats_raw, c2w_chunk, intr_chunk)
-            return sums + ds, counts + dc
+            ds, dc, dof = run(feats_raw, c2w_chunk, intr_chunk)
+            return sums + ds, counts + dc, dof
     else:
         @partial(jax.jit, static_argnames=())
         def lift_chunk(feats_raw, c2w_chunk, intr_chunk, sums, counts):
             """feats_raw [B, C, h, w] → resize to [H, W] → lift each view."""
-            (sums, counts), _ = jax.lax.scan(one, (sums, counts),
-                                             (feats_raw, c2w_chunk, intr_chunk))
-            return sums, counts
+            (sums, counts, of), _ = jax.lax.scan(
+                one, (sums, counts, jnp.int32(0)),
+                (feats_raw, c2w_chunk, intr_chunk))
+            return sums, counts, of
 
     sums = jnp.zeros((num_ids, C), jnp.float32)
     counts = jnp.zeros((num_ids,), jnp.int32)
@@ -254,13 +262,23 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
         if nb < B:
             ii[nb:, 0] = ii[nb:, 1] = 1.0
             ii[nb:, 2] = -1e9  # rays point nowhere → zero hits
-        sums, counts = lift_chunk(jnp.asarray(feats), jnp.asarray(cc),
-                                  jnp.asarray(ii), sums, counts)
+        sums, counts, chunk_of = lift_chunk(jnp.asarray(feats),
+                                            jnp.asarray(cc),
+                                            jnp.asarray(ii), sums, counts)
+        if int(chunk_of) > 0:
+            print(f"[WARN] dual-bin big-voxel budget overflow: {int(chunk_of)}"
+                  f" voxels/view truncated to 2x2-tile coverage — raise "
+                  f"LiftConfig.splat_big_budget")
         done += nb
-        if cfg.checkpoint_every and (done % cfg.checkpoint_every == 0
-                                     or done == len(files)):
-            artifact = _write_artifacts(out_dir, done, sums, counts, centers,
-                                        grid, vs, final=(done == len(files)))
+        if cfg.checkpoint_every and done % cfg.checkpoint_every == 0 \
+                and done < len(files):
+            _write_artifacts(out_dir, done, sums, counts, centers,
+                             grid, vs, final=False)
+    # the final artifact is written unconditionally — checkpoint_every only
+    # controls the intermediate resumability checkpoints (a 0 value used to
+    # skip this write and crash the return below on the unbound name)
+    artifact = _write_artifacts(out_dir, done, sums, counts, centers,
+                                grid, vs, final=True)
     jax.block_until_ready(sums)
     dt = time.perf_counter() - t0
     vps = done / dt if dt > 0 else float("inf")

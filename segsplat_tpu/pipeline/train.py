@@ -119,6 +119,11 @@ def train(source_path: str, model_path: str,
     if start_checkpoint:
         state = load_checkpoint(start_checkpoint, state)
         print(f"[INFO] resumed from {start_checkpoint} at step {int(state.step)}")
+        if parallel_step is not None:
+            # the restored leaves are fresh uncommitted single-device arrays;
+            # feeding them to the donated SPMD step would let GSPMD pick
+            # shardings (the bg/densify hazard documented below)
+            state = parallel_step.replicate(state)
 
     cams = scene.get_train_cameras()
     if not cams:

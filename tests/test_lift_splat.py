@@ -91,11 +91,12 @@ def test_fused_lift_matches_hits_plus_scatter(rng):
         jnp.asarray(inc, jnp.float32), W, H, **kw)
     ref_sums, ref_counts = scatter_features(feats, hits, num_ids)
 
-    sums, counts = lift_view_splat(
+    sums, counts, overflow = lift_view_splat(
         jnp.asarray(centers), jnp.asarray(ids), c2w, intr,
         jnp.asarray(vs, jnp.float32), 0.05, 8.0,
         jnp.asarray(inc, jnp.float32), feats, num_ids, W, H, **kw)
 
+    assert int(overflow) == 0
     np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_counts))
     np.testing.assert_allclose(np.asarray(sums), np.asarray(ref_sums),
                                rtol=1e-5, atol=1e-5)
@@ -155,8 +156,9 @@ def test_dual_bin_fused_sums_match(rng):
     args = (jnp.asarray(centers), jnp.asarray(ids), c2w, intr,
             jnp.asarray(vs, jnp.float32), 0.05, 8.0,
             jnp.asarray(inc, jnp.float32), feats, num_ids, W, H)
-    s1, c1 = lift_view_splat(*args, dual_bin=False, **kw)
-    s2, c2 = lift_view_splat(*args, dual_bin=True, **kw)
+    s1, c1, of1 = lift_view_splat(*args, dual_bin=False, **kw)
+    s2, c2, of2 = lift_view_splat(*args, dual_bin=True, **kw)
+    assert int(of1) == 0 and int(of2) == 0
     np.testing.assert_array_equal(np.asarray(c2), np.asarray(c1))
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
                                rtol=1e-6, atol=1e-6)
