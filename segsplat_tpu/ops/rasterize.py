@@ -86,11 +86,52 @@ def project_gaussians(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
     tx = jnp.clip(t_cam[:, 0] / zc, -lim_x, lim_x) * zc
     ty = jnp.clip(t_cam[:, 1] / zc, -lim_y, lim_y) * zc
 
-    # 3D covariance in camera frame
-    Rg = quat_to_rotmat(quats)                    # [N,3,3]
-    M = Rg * scales[:, None, :]                   # R diag(s)
-    cov3d = M @ jnp.swapaxes(M, 1, 2)             # [N,3,3]
-    cov_cam = jnp.einsum("ij,njk,lk->nil", R_w2c, cov3d, R_w2c)
+    # 3D covariance in camera frame — PLANAR [N] component arrays throughout:
+    # [N,3,3] tensors pad their (3,3) minor dims to (8,128) tiles (~100×
+    # physical bytes; see CLAUDE.md), and under value_and_grad the autodiff
+    # residuals of the einsum chain would MATERIALIZE them (measured as a
+    # dominant train-step cost; the forward-only path hid it behind fusion).
+    qn = quats / (jnp.linalg.norm(quats, axis=-1, keepdims=True) + 1e-12)
+    qw, qx, qy, qz = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qw * qz)
+    r02 = 2 * (qx * qz + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qw * qx)
+    r20 = 2 * (qx * qz - qw * qy)
+    r21 = 2 * (qy * qz + qw * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+    s0, s1, s2 = scales[:, 0], scales[:, 1], scales[:, 2]
+    # M = R diag(s); Σ = M Mᵀ (symmetric, 6 unique components)
+    m00, m01, m02 = r00 * s0, r01 * s1, r02 * s2
+    m10, m11, m12 = r10 * s0, r11 * s1, r12 * s2
+    m20, m21, m22 = r20 * s0, r21 * s1, r22 * s2
+    s00 = m00 * m00 + m01 * m01 + m02 * m02
+    s01 = m00 * m10 + m01 * m11 + m02 * m12
+    s02 = m00 * m20 + m01 * m21 + m02 * m22
+    s11 = m10 * m10 + m11 * m11 + m12 * m12
+    s12 = m10 * m20 + m11 * m21 + m12 * m22
+    s22 = m20 * m20 + m21 * m21 + m22 * m22
+    # cov_cam = W Σ Wᵀ with W = R_w2c (3×3 constants × planar components)
+    w_ = R_w2c
+
+    def _row(i):
+        # (W Σ)ᵢ· : three planar arrays
+        a = w_[i, 0] * s00 + w_[i, 1] * s01 + w_[i, 2] * s02
+        b = w_[i, 0] * s01 + w_[i, 1] * s11 + w_[i, 2] * s12
+        c_ = w_[i, 0] * s02 + w_[i, 1] * s12 + w_[i, 2] * s22
+        return a, b, c_
+
+    p00, p01, p02 = _row(0)
+    p10, p11, p12 = _row(1)
+    p20, p21, p22 = _row(2)
+    cc00 = p00 * w_[0, 0] + p01 * w_[0, 1] + p02 * w_[0, 2]
+    cc01 = p00 * w_[1, 0] + p01 * w_[1, 1] + p02 * w_[1, 2]
+    cc02 = p00 * w_[2, 0] + p01 * w_[2, 1] + p02 * w_[2, 2]
+    cc11 = p10 * w_[1, 0] + p11 * w_[1, 1] + p12 * w_[1, 2]
+    cc12 = p10 * w_[2, 0] + p11 * w_[2, 1] + p12 * w_[2, 2]
+    cc22 = p20 * w_[2, 0] + p21 * w_[2, 1] + p22 * w_[2, 2]
 
     inv_z = 1.0 / zc
     inv_z2 = inv_z * inv_z
@@ -100,8 +141,8 @@ def project_gaussians(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
     j11 = fy * inv_z
     j12 = -fy * ty * inv_z2
 
-    c00, c01, c02 = cov_cam[:, 0, 0], cov_cam[:, 0, 1], cov_cam[:, 0, 2]
-    c11, c12, c22 = cov_cam[:, 1, 1], cov_cam[:, 1, 2], cov_cam[:, 2, 2]
+    c00, c01, c02 = cc00, cc01, cc02
+    c11, c12, c22 = cc11, cc12, cc22
     # cov2d = J Σc Jᵀ expanded
     a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22) + eps2d
     b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
@@ -331,6 +372,7 @@ def _blend_tiles_pallas(proj: Projected, colors, opacities, bg,
     order, rank_sorted, offsets, (tx_n, ty_n) = _bin_gaussian_ranks(
         proj, width, height, max_tiles_per_axis,
         opacities=opacities if opacity_cull else None)
+    n_pairs = offsets[-1]      # real (non-sentinel) pair count, pre-cap
     if pair_cap is not None and pair_cap < rank_sorted.shape[0]:
         rank_sorted = rank_sorted[:pair_cap]
         offsets = jnp.minimum(offsets, pair_cap)
@@ -354,7 +396,9 @@ def _blend_tiles_pallas(proj: Projected, colors, opacities, bg,
         pad = K + 4 + (L + K + 4) % 2                                # even total
         sorted_payload = jnp.pad(sorted_payload, ((0, pad), (0, 0)))
         packed = sorted_payload.reshape(-1, 128)                     # free relayout
-        return blend_tiles_pallas_packed(offsets, packed, bg, tx_n, ty_n, K)
+        img, alpha = blend_tiles_pallas_packed(offsets, packed, bg, tx_n,
+                                               ty_n, K)
+        return img, alpha, n_pairs
 
     payload = jnp.concatenate([
         proj.means2d, proj.conics, opacities[:, None],
@@ -369,7 +413,7 @@ def _blend_tiles_pallas(proj: Projected, colors, opacities, bg,
 
     img, alpha = blend_core(offsets, sorted_payload, bg, tx_n, ty_n, K,
                             dma_block=dma_block)
-    return img, alpha
+    return img, alpha, n_pairs
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_tiles_per_axis",
@@ -424,24 +468,29 @@ def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
     if means2d_offset is not None:
         proj = proj._replace(means2d=proj.means2d + means2d_offset)
     if backend == "pallas":
-        img, alpha = _blend_tiles_pallas(proj, colors, opacities, bg,
-                                         width, height, max_tiles_per_axis,
-                                         max_per_tile, pair_cap=pair_cap,
-                                         opacity_cull=opacity_cull,
-                                         dma_block=dma_block)
+        img, alpha, n_pairs = _blend_tiles_pallas(
+            proj, colors, opacities, bg, width, height, max_tiles_per_axis,
+            max_per_tile, pair_cap=pair_cap, opacity_cull=opacity_cull,
+            dma_block=dma_block)
     else:
+        n_pairs = None
         sorted_gid, offsets, (tx_n, ty_n) = _bin_gaussians(
             proj, width, height, max_tiles_per_axis,
             opacities=opacities if opacity_cull else None)
         img, alpha = _blend_tiles(sorted_gid, offsets, proj, colors, opacities,
                                   bg, tx_n, ty_n, max_per_tile, tile_chunk)
-    return {
+    out = {
         "image": img[:height, :width],
         "alpha": alpha[:height, :width],
         "radii": proj.radii,
         "visible": proj.valid,
         "depths": proj.depths,
     }
+    if n_pairs is not None:
+        # real pair count BEFORE the pair_cap truncation: consumers log it so
+        # a too-small cap (dropped pairs AND gradients) is never silent
+        out["num_pairs"] = n_pairs
+    return out
 
 
 def pad_logits_to_channels(logits: jax.Array, num_channels: int = 32) -> jax.Array:

@@ -64,6 +64,8 @@ class TrainRunConfig:
     raster_tile_chunk: int = 64
     raster_backend: str = "auto"   # auto → pallas custom-VJP kernel on TPU,
     #                                differentiable XLA blend elsewhere
+    raster_pair_cap: int = 0       # >0: cap sorted raster pairs (speed knob;
+    #                                num_pairs is logged, overflow warns)
     view_batch: int = 1            # views per iteration; >1 → SPMD data-parallel
     mesh_tensor: int = 1           # tensor-axis size for the codebook sharding
     mesh_view: int = 0             # view-axis size (0 = auto: largest device
@@ -96,6 +98,12 @@ def train(source_path: str, model_path: str,
     raster_kw = dict(max_tiles_per_axis=run.raster_max_tiles_per_axis,
                      max_per_tile=run.raster_max_per_tile,
                      tile_chunk=run.raster_tile_chunk, backend=backend)
+    if run.raster_pair_cap and backend == "pallas":
+        # static truncation of the sorted pair list — exact while it covers
+        # the frame's real pair count (logged per step as num_pairs; a cap
+        # below it silently drops the deepest pairs AND their gradients, so
+        # the loop warns). ~25% step speedup at officescene scale (228→182ms)
+        raster_kw["pair_cap"] = run.raster_pair_cap
     step_fn, optimizers = cached_train_step(opt, scene.cameras_extent, raster_kw)
     state, _ = init_state(table, opt, spatial_lr_scale=scene.cameras_extent,
                           seed=run.seed, optimizers=optimizers)
@@ -227,6 +235,12 @@ def train(source_path: str, model_path: str,
                    **{k: float(v) for k, v in metrics.items()},
                    "num_gaussians": int(np.asarray(state.table.active).sum()),
                    "elapsed_s": time.perf_counter() - t_start}
+            cap = raster_kw.get("pair_cap")
+            if cap and rec.get("num_pairs", 0) > cap:
+                print(f"[WARN] raster pair_cap {cap} < real pairs "
+                      f"{int(rec['num_pairs'])} at iter {it} — deepest pairs "
+                      f"(and their gradients) are being dropped; raise "
+                      f"--pair_cap")
             # fail-fast numerics guard (SURVEY §5.2 — the TPU equivalent of the
             # reference's _DEBUG sync-and-check): a non-finite loss aborts with
             # the full loss breakdown instead of silently corrupting the table

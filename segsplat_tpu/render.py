@@ -47,7 +47,8 @@ def render(table: GaussianTable, camera: Camera,
            scaling_modifier: float = 1.0,
            override_color: Optional[jax.Array] = None,
            max_tiles_per_axis: int = 8, max_per_tile: int = 512,
-           tile_chunk: int = 64, backend: str = "xla") -> dict:
+           tile_chunk: int = 64, backend: str = "xla",
+           pair_cap: Optional[int] = None) -> dict:
     """Render RGB + identity (+ semantics) in one rasterizer pass.
 
     bg_color: [3] like the reference (identity/semantic channels composite on 0,
@@ -77,7 +78,7 @@ def render(table: GaussianTable, camera: Camera,
                     means2d_offset=means2d_offset,
                     max_tiles_per_axis=max_tiles_per_axis,
                     max_per_tile=max_per_tile, tile_chunk=tile_chunk,
-                    backend=backend)
+                    backend=backend, pair_cap=pair_cap)
 
     img = out["image"]
     result = {
@@ -97,7 +98,8 @@ def render(table: GaussianTable, camera: Camera,
 def render_semantics(table: GaussianTable, camera: Camera, logits: jax.Array,
                      bg_value: float = 0.0,
                      max_tiles_per_axis: int = 8, max_per_tile: int = 512,
-                     tile_chunk: int = 64, backend: str = "xla") -> jax.Array:
+                     tile_chunk: int = 64, backend: str = "xla",
+                     pair_cap: Optional[int] = None) -> jax.Array:
     """Semantics-only fast path: the gsplat call in the reference's FPS-metric loop
     (render_semantics_logits.py:92-105). Returns [32, H, W]."""
     viewmat = camera.world_view_transform()
@@ -110,5 +112,5 @@ def render_semantics(table: GaussianTable, camera: Camera, logits: jax.Array,
                     bg=jnp.full((NUM_SEMANTIC_CHANNELS,), bg_value, payload.dtype),
                     max_tiles_per_axis=max_tiles_per_axis,
                     max_per_tile=max_per_tile, tile_chunk=tile_chunk,
-                    backend=backend)
+                    backend=backend, pair_cap=pair_cap)
     return jnp.transpose(out["image"], (2, 0, 1))

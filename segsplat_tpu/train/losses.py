@@ -95,20 +95,35 @@ def psnr(pred: jax.Array, gt: jax.Array) -> jax.Array:
 
 # ───────────────────────── identity-feature losses ─────────────────────────
 
+def _label_onehot(labels: jax.Array) -> jax.Array:
+    """[S] int → [S, NUM_CLUSTERS] f32 one-hot. Per-cluster reductions go
+    through an MXU contraction with this matrix instead of
+    jax.ops.segment_sum: XLA's scatter-add is row-count-bound (~21 ms for
+    512k rows at lift scale regardless of payload width — measured), while
+    the one-hot matmul runs at MXU rate and its gradient is a plain matmul
+    too."""
+    return jax.nn.one_hot(labels, NUM_CLUSTERS, dtype=jnp.float32)
+
+
 def _cluster_stats(feat_n: jax.Array, labels: jax.Array,
-                   phi_mult: float, phi_min: float, phi_max: float):
+                   phi_mult: float, phi_min: float, phi_max: float,
+                   onehot: jax.Array = None):
     """Per-cluster mean direction and temperature φ over NUM_CLUSTERS segments.
 
     feat_n: [S, D] normalized features, labels: [S] int in [0, NUM_CLUSTERS).
     Returns (u [K,D], phi [K], counts [K]).
     """
-    counts = jax.ops.segment_sum(jnp.ones_like(labels, jnp.float32), labels,
-                                 num_segments=NUM_CLUSTERS)
-    sums = jax.ops.segment_sum(feat_n, labels, num_segments=NUM_CLUSTERS)
+    oh = _label_onehot(labels) if onehot is None else onehot     # [S, K]
+    counts = jnp.sum(oh, axis=0)                                 # [K]
+    sums = jax.lax.dot_general(                                  # [K, D]
+        oh, feat_n, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     u = sums / jnp.maximum(counts, 1.0)[:, None]
     # φ_k = Σ‖f−u‖ / (n_k · log(n_k+10))   (train_unified_lift.py:197)
     dist_to_u = jnp.linalg.norm(feat_n - u[labels], axis=-1)
-    phi_num = jax.ops.segment_sum(dist_to_u, labels, num_segments=NUM_CLUSTERS)
+    phi_num = jax.lax.dot_general(
+        oh, dist_to_u[:, None], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[:, 0]
     phi = phi_num / jnp.maximum(counts * jnp.log(counts + 10.0), 1e-6)
     phi = jnp.clip(phi * phi_mult, phi_min, phi_max)
     return u, jax.lax.stop_gradient(phi), counts
@@ -187,9 +202,11 @@ def virtual_gt_labels(gt_obj: jax.Array, logits: jax.Array) -> jax.Array:
     K = logits.shape[0]
     lab = jnp.clip(gt_obj.reshape(-1), 0, NUM_CLUSTERS - 1)
     probs = jax.nn.softmax(logits.reshape(K, -1).T, axis=-1)    # [P, K]
-    counts = jax.ops.segment_sum(jnp.ones_like(lab, jnp.float32), lab,
-                                 num_segments=NUM_CLUSTERS)
-    sums = jax.ops.segment_sum(probs, lab, num_segments=NUM_CLUSTERS)  # [K, K]
+    oh = _label_onehot(lab)                                     # [P, K]
+    counts = jnp.sum(oh, axis=0)
+    sums = jax.lax.dot_general(                                 # [K, K] MXU
+        oh, probs, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     present = counts > 0
     # cost −Σp for present ids; absent rows get 0 cost everywhere (assignment
     # then routes them arbitrarily without affecting present rows' optimum)

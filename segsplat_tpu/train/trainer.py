@@ -185,6 +185,7 @@ def compute_losses(table: GaussianTable, code_book: jax.Array, camera: Camera,
     column-parallel across the mesh."""
     out = render(table, camera, bg, means2d_offset=offset, **raster_kw)
     image, objects = out["render"], out["render_object"]
+    num_pairs = out.get("num_pairs")
 
     ll1 = L.l1_loss(image, gt_image)
     dssim = 1.0 - L.ssim(image, gt_image)
@@ -209,6 +210,8 @@ def compute_losses(table: GaussianTable, code_book: jax.Array, camera: Camera,
            "clustering": clu_loss, "reg": reg, "total": total,
            "radii": out["radii"], "visible": out["visibility_filter"],
            "psnr": L.psnr(image, gt_image)}
+    if num_pairs is not None:
+        aux["num_pairs"] = num_pairs
     return total, aux
 
 
@@ -246,6 +249,8 @@ def make_train_step(cfg: OptimizationConfig, optimizers, raster_kw: Optional[dic
         metrics = {k: aux[k] for k in
                    ("l1", "dssim", "contrastive", "cls", "clustering", "reg",
                     "total", "psnr")}
+        if "num_pairs" in aux:
+            metrics["num_pairs"] = aux["num_pairs"]
         return new_state, metrics
 
     return train_step

@@ -39,6 +39,9 @@ def main(argv=None):
     parser.add_argument("--use_wandb", action="store_true")
     parser.add_argument("--num_classes", type=int, default=256)
     parser.add_argument("--capacity", type=int, default=0)
+    parser.add_argument("--pair_cap", type=int, default=0,
+                        help="cap sorted raster pairs (speed knob; num_pairs "
+                             "is logged and overflow warns)")
     parser.add_argument("--view_batch", type=int, default=1,
                         help="views per iteration; >1 shards the batch over "
                              "all devices (SPMD data parallelism)")
@@ -88,6 +91,7 @@ def main(argv=None):
         white_background=dataset.white_background,
         resolution=dataset.resolution,
         num_classes=args.num_classes,
+        raster_pair_cap=args.pair_cap,
         view_batch=args.view_batch,
         mesh_tensor=args.mesh_tensor,
     )
