@@ -106,6 +106,34 @@ def track_sequence(mask_dir: str, out_dir: str, iou_threshold: float,
     return n_ids
 
 
+def segment_images(image_dir: str, out_dir: str, n_segments: int,
+                   compactness: float, merge_thresh: float,
+                   min_pixels: int) -> int:
+    """Raw frames → per-frame instance-id maps via pipeline/segment.py."""
+    from PIL import Image
+
+    from segsplat_tpu.pipeline.segment import SegmentConfig, segment_image
+
+    cfg = SegmentConfig(n_segments=n_segments, compactness=compactness,
+                        merge_thresh=merge_thresh, min_pixels=min_pixels)
+    os.makedirs(out_dir, exist_ok=True)
+    files = sorted(f for f in os.listdir(image_dir)
+                   if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    n = 0
+    for f in files:
+        img = np.asarray(Image.open(os.path.join(image_dir, f)).convert("RGB"))
+        ids = segment_image(img, cfg)
+        if ids.max() > 255:
+            print(f"[WARN] {f}: {ids.max()} regions > 255, clipping "
+                  f"(raise merge_thresh / min_pixels)")
+            ids = np.clip(ids, 0, 255)
+        name = os.path.splitext(f)[0] + ".png"
+        Image.fromarray(ids.astype(np.uint8)).save(os.path.join(out_dir, name))
+        n += 1
+    print(f"[DONE] segmented {n} frames → {out_dir}")
+    return n
+
+
 def main(argv=None):
     p = ArgumentParser()
     sp = p.add_subparsers(dest="cmd", required=True)
@@ -122,6 +150,17 @@ def main(argv=None):
     tr.add_argument("--memory_frames", type=int, default=30)
     tr.add_argument("--min_pixels", type=int, default=16)
 
+    sg = sp.add_parser("segment", help="in-framework per-frame instance "
+                       "proposals (SLIC + region merge, pipeline/segment.py) "
+                       "— the zero-external-weights mask source; chain with "
+                       "'track' for temporally consistent ids")
+    sg.add_argument("--images", required=True)
+    sg.add_argument("--out", required=True)
+    sg.add_argument("--n_segments", type=int, default=256)
+    sg.add_argument("--compactness", type=float, default=0.25)
+    sg.add_argument("--merge_thresh", type=float, default=0.08)
+    sg.add_argument("--min_pixels", type=int, default=64)
+
     dv = sp.add_parser("from_deva", help="run an external DEVA then convert")
     dv.add_argument("--deva_cmd", required=True,
                     help="shell command that writes color masks to --masks")
@@ -129,6 +168,10 @@ def main(argv=None):
     dv.add_argument("--out", required=True)
 
     args = p.parse_args(argv)
+    if args.cmd == "segment":
+        segment_images(args.images, args.out, args.n_segments,
+                       args.compactness, args.merge_thresh, args.min_pixels)
+        return
     if args.cmd == "track":
         track_sequence(args.masks, args.out, args.iou_threshold,
                        args.memory_frames, args.min_pixels)
