@@ -49,12 +49,7 @@ def setup():
     return centers, ids, feats, intr, jnp.asarray(np.stack(c2ws))
 
 
-def measure_rtt():
-    tiny = jax.jit(lambda x: x + 1)
-    float(jnp.sum(tiny(jnp.ones((8, 8)))))
-    t0 = time.perf_counter()
-    float(jnp.sum(tiny(jnp.ones((8, 8)))))
-    return time.perf_counter() - t0
+from scripts.perf_raster_stages import measure_rtt  # noqa: E402
 
 
 def timeit(name, fn, xs, consts, rtt, reps=3):

@@ -40,8 +40,6 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from segsplat_tpu.core.transforms import quat_to_rotmat
-
 TILE = 16
 
 
@@ -114,24 +112,22 @@ def project_gaussians(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
     s12 = m10 * m20 + m11 * m21 + m12 * m22
     s22 = m20 * m20 + m21 * m21 + m22 * m22
     # cov_cam = W Σ Wᵀ with W = R_w2c (3×3 constants × planar components)
-    w_ = R_w2c
-
-    def _row(i):
+    def _wsigma_row(i):
         # (W Σ)ᵢ· : three planar arrays
-        a = w_[i, 0] * s00 + w_[i, 1] * s01 + w_[i, 2] * s02
-        b = w_[i, 0] * s01 + w_[i, 1] * s11 + w_[i, 2] * s12
-        c_ = w_[i, 0] * s02 + w_[i, 1] * s12 + w_[i, 2] * s22
+        a = R_w2c[i, 0] * s00 + R_w2c[i, 1] * s01 + R_w2c[i, 2] * s02
+        b = R_w2c[i, 0] * s01 + R_w2c[i, 1] * s11 + R_w2c[i, 2] * s12
+        c_ = R_w2c[i, 0] * s02 + R_w2c[i, 1] * s12 + R_w2c[i, 2] * s22
         return a, b, c_
 
-    p00, p01, p02 = _row(0)
-    p10, p11, p12 = _row(1)
-    p20, p21, p22 = _row(2)
-    cc00 = p00 * w_[0, 0] + p01 * w_[0, 1] + p02 * w_[0, 2]
-    cc01 = p00 * w_[1, 0] + p01 * w_[1, 1] + p02 * w_[1, 2]
-    cc02 = p00 * w_[2, 0] + p01 * w_[2, 1] + p02 * w_[2, 2]
-    cc11 = p10 * w_[1, 0] + p11 * w_[1, 1] + p12 * w_[1, 2]
-    cc12 = p10 * w_[2, 0] + p11 * w_[2, 1] + p12 * w_[2, 2]
-    cc22 = p20 * w_[2, 0] + p21 * w_[2, 1] + p22 * w_[2, 2]
+    p00, p01, p02 = _wsigma_row(0)
+    p10, p11, p12 = _wsigma_row(1)
+    p20, p21, p22 = _wsigma_row(2)
+    c00 = p00 * R_w2c[0, 0] + p01 * R_w2c[0, 1] + p02 * R_w2c[0, 2]
+    c01 = p00 * R_w2c[1, 0] + p01 * R_w2c[1, 1] + p02 * R_w2c[1, 2]
+    c02 = p00 * R_w2c[2, 0] + p01 * R_w2c[2, 1] + p02 * R_w2c[2, 2]
+    c11 = p10 * R_w2c[1, 0] + p11 * R_w2c[1, 1] + p12 * R_w2c[1, 2]
+    c12 = p10 * R_w2c[2, 0] + p11 * R_w2c[2, 1] + p12 * R_w2c[2, 2]
+    c22 = p20 * R_w2c[2, 0] + p21 * R_w2c[2, 1] + p22 * R_w2c[2, 2]
 
     inv_z = 1.0 / zc
     inv_z2 = inv_z * inv_z
@@ -141,8 +137,6 @@ def project_gaussians(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
     j11 = fy * inv_z
     j12 = -fy * ty * inv_z2
 
-    c00, c01, c02 = cc00, cc01, cc02
-    c11, c12, c22 = cc11, cc12, cc22
     # cov2d = J Σc Jᵀ expanded
     a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22) + eps2d
     b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)

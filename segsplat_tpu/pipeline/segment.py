@@ -123,16 +123,13 @@ def _merge_regions(labels: np.ndarray, image: np.ndarray,
 
     # adjacency from horizontal/vertical label transitions
     pairs = set()
-    a, b = labels[:, :-1].reshape(-1), labels[:, 1:].reshape(-1)
-    for u, v in zip(*np.unique(np.stack([np.minimum(a, b), np.maximum(a, b)]),
-                               axis=1)):
-        if u != v:
-            pairs.add((int(u), int(v)))
-    a, b = labels[:-1, :].reshape(-1), labels[1:, :].reshape(-1)
-    for u, v in zip(*np.unique(np.stack([np.minimum(a, b), np.maximum(a, b)]),
-                               axis=1)):
-        if u != v:
-            pairs.add((int(u), int(v)))
+    for a, b in ((labels[:, :-1], labels[:, 1:]),
+                 (labels[:-1, :], labels[1:, :])):
+        lo = np.minimum(a, b).reshape(-1)
+        hi = np.maximum(a, b).reshape(-1)
+        for u, v in zip(*np.unique(np.stack([lo, hi]), axis=1)):
+            if u != v:
+                pairs.add((int(u), int(v)))
 
     parent = np.arange(K)
 
@@ -142,19 +139,20 @@ def _merge_regions(labels: np.ndarray, image: np.ndarray,
             x = parent[x]
         return x
 
+    def union(ru, rv):
+        # pool color means so later merge decisions see the merged region
+        tot = cnt[ru] + cnt[rv]
+        mean[ru] = (mean[ru] * cnt[ru] + mean[rv] * cnt[rv]) / max(tot, 1)
+        cnt[ru] = tot
+        parent[rv] = ru
+
     # merge similar neighbors (smallest color gap first — stable greedy)
     edges = sorted(pairs, key=lambda e: np.sum((mean[e[0]] - mean[e[1]]) ** 2))
     for u, v in edges:
         ru, rv = find(u), find(v)
-        if ru == rv:
-            continue
-        d = np.sqrt(np.sum((mean[ru] - mean[rv]) ** 2))
-        if d < cfg.merge_thresh:
-            # union, color means pooled
-            tot = cnt[ru] + cnt[rv]
-            mean[ru] = (mean[ru] * cnt[ru] + mean[rv] * cnt[rv]) / max(tot, 1)
-            cnt[ru] = tot
-            parent[rv] = ru
+        if ru != rv and np.sqrt(np.sum((mean[ru] - mean[rv]) ** 2)) \
+                < cfg.merge_thresh:
+            union(ru, rv)
 
     roots = np.array([find(i) for i in range(K)])
     merged = roots[labels]
@@ -165,13 +163,8 @@ def _merge_regions(labels: np.ndarray, image: np.ndarray,
     if small:
         for u, v in edges:
             ru, rv = find(u), find(v)
-            if ru == rv:
-                continue
-            if ru in small or rv in small:
-                tot = cnt[ru] + cnt[rv]
-                mean[ru] = (mean[ru] * cnt[ru] + mean[rv] * cnt[rv]) / max(tot, 1)
-                cnt[ru] = tot
-                parent[rv] = ru
+            if ru != rv and (ru in small or rv in small):
+                union(ru, rv)
                 small.discard(ru)
                 small.discard(rv)
         roots = np.array([find(i) for i in range(K)])

@@ -167,7 +167,8 @@ def contrastive_loss(features: jax.Array, gt_obj: jax.Array, rng: jax.Array,
 
 
 def confidence_map(features: jax.Array, gt_obj: jax.Array,
-                   threshold: float = 0.2) -> jax.Array:
+                   threshold: float = 0.2,
+                   onehot: jax.Array = None) -> jax.Array:
     """[H, W] binary confidence (get_confience_map, train_unified_lift.py:64-142):
     per-pixel probability of its own cluster under φ·0.1∈[0.1,1], binarized."""
     D, H, W = features.shape
@@ -175,7 +176,7 @@ def confidence_map(features: jax.Array, gt_obj: jax.Array,
     lab = jnp.clip(gt_obj.reshape(-1), 0, NUM_CLUSTERS - 1)
     f = feat / jax.lax.stop_gradient(
         jnp.linalg.norm(feat, axis=-1, keepdims=True) + 1e-6)
-    u, phi, counts = _cluster_stats(f, lab, 0.1, 0.1, 1.0)
+    u, phi, counts = _cluster_stats(f, lab, 0.1, 0.1, 1.0, onehot=onehot)
     valid = counts > 0
     logits = (f @ u.T) / phi[None, :]
     e = jnp.where(valid[None, :], jnp.exp(logits), 0.0)
@@ -186,7 +187,8 @@ def confidence_map(features: jax.Array, gt_obj: jax.Array,
 
 # ───────────────────────── virtual GT via Hungarian ─────────────────────────
 
-def virtual_gt_labels(gt_obj: jax.Array, logits: jax.Array) -> jax.Array:
+def virtual_gt_labels(gt_obj: jax.Array, logits: jax.Array,
+                      onehot: jax.Array = None) -> jax.Array:
     """Hungarian-matched relabeling (create_virtual_gt_with_linear_assignment,
     train_unified_lift.py:247-264).
 
@@ -202,7 +204,7 @@ def virtual_gt_labels(gt_obj: jax.Array, logits: jax.Array) -> jax.Array:
     K = logits.shape[0]
     lab = jnp.clip(gt_obj.reshape(-1), 0, NUM_CLUSTERS - 1)
     probs = jax.nn.softmax(logits.reshape(K, -1).T, axis=-1)    # [P, K]
-    oh = _label_onehot(lab)                                     # [P, K]
+    oh = _label_onehot(lab) if onehot is None else onehot       # [P, K]
     counts = jnp.sum(oh, axis=0)
     sums = jax.lax.dot_general(                                 # [K, K] MXU
         oh, probs, dimension_numbers=(((0,), (0,)), ((), ())),

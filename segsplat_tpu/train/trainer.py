@@ -192,14 +192,18 @@ def compute_losses(table: GaussianTable, code_book: jax.Array, camera: Camera,
 
     r1, _ = jax.random.split(rng)
     contrast, reg = L.contrastive_loss(objects, gt_obj, r1)
-    conf = L.confidence_map(objects, gt_obj)
+    # one [P, NUM_CLUSTERS] one-hot shared by the confidence map and the
+    # virtual-GT cost matrix (both reduce per mask id over the same labels)
+    lab_oh = L._label_onehot(
+        jnp.clip(gt_obj.reshape(-1), 0, L.NUM_CLUSTERS - 1))
+    conf = L.confidence_map(objects, gt_obj, onehot=lab_oh)
 
     # codebook logits on detached features (train_unified_lift.py:371)
     obj_flat = jax.lax.stop_gradient(objects.reshape(NUM_OBJECTS, -1))
     logits = (code_book @ obj_flat).reshape(NUM_CODEBOOK, *gt_obj.shape)
     if shard_logits is not None:
         logits = shard_logits(logits)
-    vgt = L.virtual_gt_labels(gt_obj, logits)
+    vgt = L.virtual_gt_labels(gt_obj, logits, onehot=lab_oh)
     cls_loss = L.gated_classification_loss(logits, vgt, conf, cfg.num_classes)
     clu_loss = L.clustering_loss(objects, vgt, code_book, conf)
 
