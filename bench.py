@@ -135,14 +135,12 @@ def main() -> None:
     }))
 
 
-def bench_lift(rtt: float) -> float:
-    """Feature-lift throughput at officescene scale: bilinear 512-ch upsample +
-    first-hit splat ray march + deterministic scatter into the voxel table —
-    the full per-view work of pipeline/lift_features.lift_chunk."""
-    import jax
+def officescene_lift_scene(n_views: int = 8):
+    """Shared synthetic officescene-scale lift inputs (876×584 rays, ~109k
+    voxels @ 0.04 m, 512 channels) — the SAME scene for bench.py's headline
+    views/s and the per-stage scoreboards (scripts/perf_lift_stages.py), so
+    the decomposition always explains the reported number."""
     import jax.numpy as jnp
-
-    from segsplat_tpu.ops.lift_splat import lift_view_splat
 
     rng = np.random.default_rng(1)
     W, H, C = 876, 584, 512
@@ -154,21 +152,38 @@ def bench_lift(rtt: float) -> float:
     origin = np.array([-1.2, -0.9, 1.0], np.float32)
     centers = jnp.asarray(origin + ii * vs, jnp.float32)
     ids = jnp.arange(1, nv + 1, dtype=jnp.int32)
-    num_ids = nv + 1
-
-    V = 8
-    feats = jnp.asarray(rng.random((V, C, H // 2, W // 2)).astype(np.float16))
-    fx = fy = 700.0 * 0.5
-    intr = jnp.asarray(np.tile([fx, fy, W / 2, H / 2], (V, 1)), jnp.float32)
+    feats = jnp.asarray(rng.random((n_views, C, H // 2, W // 2))
+                        .astype(np.float16))
+    fx = 700.0 * 0.5
+    intr = jnp.asarray(np.tile([fx, fx, W / 2, H / 2], (n_views, 1)),
+                       jnp.float32)
     c2ws = []
-    for i in range(V):
+    for i in range(n_views):
         a = 0.02 * i
         Rm = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
                        [-np.sin(a), 0, np.cos(a)]], np.float32)
         c2w = np.eye(4, dtype=np.float32)
         c2w[:3, :3] = Rm
         c2ws.append(c2w)
-    c2ws = jnp.asarray(np.stack(c2ws))
+    return dict(W=W, H=H, C=C, vs=vs, centers=centers, ids=ids, feats=feats,
+                intr=intr, c2ws=jnp.asarray(np.stack(c2ws)))
+
+
+def bench_lift(rtt: float) -> float:
+    """Feature-lift throughput at officescene scale: bilinear 512-ch upsample +
+    first-hit splat ray march + deterministic scatter into the voxel table —
+    the full per-view work of pipeline/lift_features.lift_chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    from segsplat_tpu.ops.lift_splat import lift_view_splat
+
+    sc = officescene_lift_scene(n_views=8)
+    W, H, C, vs = sc["W"], sc["H"], sc["C"], sc["vs"]
+    centers, ids = sc["centers"], sc["ids"]
+    feats, intr, c2ws = sc["feats"], sc["intr"], sc["c2ws"]
+    num_ids = centers.shape[0] + 1
+    V = feats.shape[0]
     inc = jnp.asarray(vs * 0.5, jnp.float32)
 
     @jax.jit

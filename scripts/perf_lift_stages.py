@@ -19,6 +19,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from bench import officescene_lift_scene  # noqa: E402 (shared scene —
+#                                            the scoreboard decomposes the
+#                                            exact workload bench.py reports)
 from segsplat_tpu.ops.lift import scatter_features
 from segsplat_tpu.ops.lift_splat import first_hit_voxels_splat
 
@@ -29,24 +32,9 @@ F = 8
 
 
 def setup():
-    rng = np.random.default_rng(1)
-    coords = rng.choice(60 * 44 * 42, size=NV, replace=False)
-    ii = np.stack(np.unravel_index(coords, (60, 44, 42)), axis=1)
-    origin = np.array([-1.2, -0.9, 1.0], np.float32)
-    centers = jnp.asarray(origin + ii * VS, jnp.float32)
-    ids = jnp.arange(1, NV + 1, dtype=jnp.int32)
-    feats = jnp.asarray(rng.random((F, C, H // 2, W // 2)).astype(np.float16))
-    fx = fy = 700.0 * 0.5
-    intr = jnp.asarray(np.array([fx, fy, W / 2, H / 2], np.float32))
-    c2ws = []
-    for i in range(F):
-        a = 0.02 * i
-        Rm = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
-                       [-np.sin(a), 0, np.cos(a)]], np.float32)
-        c2w = np.eye(4, dtype=np.float32)
-        c2w[:3, :3] = Rm
-        c2ws.append(c2w)
-    return centers, ids, feats, intr, jnp.asarray(np.stack(c2ws))
+    sc = officescene_lift_scene(n_views=F)
+    assert (sc["W"], sc["H"], sc["C"]) == (W, H, C)
+    return sc["centers"], sc["ids"], sc["feats"], sc["intr"][0], sc["c2ws"]
 
 
 from scripts.perf_raster_stages import measure_rtt  # noqa: E402

@@ -124,9 +124,18 @@ def segment_images(image_dir: str, out_dir: str, n_segments: int,
         img = np.asarray(Image.open(os.path.join(image_dir, f)).convert("RGB"))
         ids = segment_image(img, cfg)
         if ids.max() > 255:
-            print(f"[WARN] {f}: {ids.max()} regions > 255, clipping "
-                  f"(raise merge_thresh / min_pixels)")
-            ids = np.clip(ids, 0, 255)
+            # uint8 id budget: keep the 255 largest regions, remap the rest
+            # to background 0 (a clip would fuse all overflow regions into
+            # one bogus instance at id 255)
+            sizes = np.bincount(ids.ravel())
+            keep = np.argsort(sizes)[::-1]
+            keep = keep[keep > 0][:255]
+            remap = np.zeros(sizes.size, np.int32)
+            remap[keep] = np.arange(1, len(keep) + 1)
+            print(f"[WARN] {f}: {ids.max()} regions > 255; kept the 255 "
+                  f"largest, {int((remap[ids] == 0).sum())} px now "
+                  f"background (raise merge_thresh / min_pixels)")
+            ids = remap[ids]
         name = os.path.splitext(f)[0] + ".png"
         Image.fromarray(ids.astype(np.uint8)).save(os.path.join(out_dir, name))
         n += 1

@@ -316,11 +316,16 @@ def first_hit_voxels_splat(centers: jax.Array,     # [V,3] world voxel centers
                            max_per_tile: int = 64,
                            tile_chunk: int = 64,
                            pair_cap: int = None,
-                           dual_bin: bool = True,
+                           dual_bin: bool = False,
                            big_budget: int = None) -> jax.Array:
     """Per-pixel first-hit voxel id via splatting. Returns [H, W] int32
-    (0=miss). See _splat_candidates for the layout design notes and
-    _bin_voxels_dual for the dual_bin/big_budget exactness contract."""
+    (0=miss). See _splat_candidates for the layout design notes.
+
+    dual_bin defaults to FALSE here (unlike lift_view_splat): this is the
+    kernel-parity API (scripts/project_features.py et al.) and it returns
+    only the hit image, so a big-budget overflow would be undetectable —
+    exactness first. lift_view_splat surfaces the overflow count and keeps
+    the fast dual binning on by default."""
     K = max_per_tile
     cand = _splat_candidates(centers, voxel_ids, c2w, intrinsics, voxel_size,
                              depth_max, width, height, max_tiles_per_axis, K,

@@ -87,7 +87,9 @@ def make_parallel_train_step(cfg: OptimizationConfig, optimizers, mesh: Mesh,
                 per_view_loss, in_axes=(None, None, None, 0, 0, 0, None, 0, None)
             )(params, code_book, offset, cameras, gt_images, gt_objs, bg, rngs,
               state.table)
-            aux = {k: (v if k in ("radii", "visible") else jnp.mean(v))
+            aux = {k: (v if k in ("radii", "visible")
+                       else jnp.max(v) if k == "num_pairs"   # worst view for
+                       else jnp.mean(v))                     # the cap warning
                    for k, v in auxs.items()}
             return jnp.mean(totals), aux
 
@@ -113,6 +115,8 @@ def make_parallel_train_step(cfg: OptimizationConfig, optimizers, mesh: Mesh,
         metrics = {k: aux[k] for k in
                    ("l1", "dssim", "contrastive", "cls", "clustering", "reg",
                     "total", "psnr")}
+        if "num_pairs" in aux:
+            metrics["num_pairs"] = aux["num_pairs"]
         return new_state, metrics
 
     def place_batch(cameras: Camera, gt_images, gt_objs, rngs):

@@ -246,6 +246,7 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
 
     sums = jnp.zeros((num_ids, C), jnp.float32)
     counts = jnp.zeros((num_ids,), jnp.int32)
+    overflow_max = jnp.int32(0)
 
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.perf_counter()
@@ -265,10 +266,10 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
         sums, counts, chunk_of = lift_chunk(jnp.asarray(feats),
                                             jnp.asarray(cc),
                                             jnp.asarray(ii), sums, counts)
-        if int(chunk_of) > 0:
-            print(f"[WARN] dual-bin big-voxel budget overflow: {int(chunk_of)}"
-                  f" voxels/view truncated to 2x2-tile coverage — raise "
-                  f"LiftConfig.splat_big_budget")
+        # keep the overflow max ON DEVICE — an int() here would force a host
+        # sync (one tunnel RTT) per chunk and serialize device compute with
+        # the next chunk's feature loading; checked once after the loop
+        overflow_max = jnp.maximum(overflow_max, chunk_of)
         done += nb
         if cfg.checkpoint_every and done % cfg.checkpoint_every == 0 \
                 and done < len(files):
@@ -282,6 +283,10 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
     jax.block_until_ready(sums)
     dt = time.perf_counter() - t0
     vps = done / dt if dt > 0 else float("inf")
+    if int(overflow_max) > 0:
+        print(f"[WARN] dual-bin big-voxel budget overflow: up to "
+              f"{int(overflow_max)} voxels/view truncated to 2x2-tile "
+              f"coverage — raise LiftConfig.splat_big_budget")
     print(f"[INFO] lifted {done} views in {dt:.2f}s = {vps:.2f} views/s")
     return {"sums": sums, "counts": counts, "grid": grid, "views_per_sec": vps,
             "artifact": artifact}

@@ -48,15 +48,29 @@ def extract_instances(id_map: np.ndarray, min_pixels: int = 1
 
 def _iou_matrix(prev: Sequence[np.ndarray], cur: Sequence[np.ndarray]
                 ) -> np.ndarray:
-    """[P, C] IoU between stored track masks and current instances, computed
-    with one [P+C, HW] boolean matmul-style contraction."""
+    """[P, C] IoU between stored track masks and current instances.
+
+    Current-frame instances are disjoint regions of one id map (that's how
+    extract_instances produces them), so they are painted into a single
+    int map once and each track's intersections with ALL instances come from
+    one bincount over its masked pixels — no [P, HW]×[C, HW] float stacking
+    (which cost hundreds of MB per frame at 1752×1168 with ~50 live tracks).
+    If a caller passes overlapping instance masks, later masks win the
+    overlapped pixels."""
     if not prev or not cur:
         return np.zeros((len(prev), len(cur)), np.float32)
-    P = np.stack([m.ravel() for m in prev]).astype(np.float32)   # [P, HW]
-    C = np.stack([m.ravel() for m in cur]).astype(np.float32)    # [C, HW]
-    inter = P @ C.T
-    union = P.sum(1)[:, None] + C.sum(1)[None, :] - inter
-    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    cur_map = np.zeros(cur[0].shape, np.int32)                   # 0 = none
+    areas_c = np.empty(len(cur), np.int64)
+    for j, m in enumerate(cur):
+        cur_map[m] = j + 1
+        areas_c[j] = int(m.sum())
+    iou = np.zeros((len(prev), len(cur)), np.float32)
+    for i, pm in enumerate(prev):
+        inter = np.bincount(cur_map[pm], minlength=len(cur) + 1)[1:]
+        union = int(pm.sum()) + areas_c - inter
+        iou[i] = np.where(union > 0,
+                          inter / np.maximum(union, 1), 0.0)
+    return iou
 
 
 def _match(iou: np.ndarray, threshold: float) -> Dict[int, int]:

@@ -89,6 +89,8 @@ def render(table: GaussianTable, camera: Camera,
         "alpha": out["alpha"],
         "depths": out["depths"],
     }
+    if "num_pairs" in out:   # pair_cap overflow surfacing (see rasterize())
+        result["num_pairs"] = out["num_pairs"]
     if semantic_logits is not None:
         result["semantic_logits"] = jnp.transpose(img[..., 19:19 + NUM_SEMANTIC_CHANNELS],
                                                   (2, 0, 1))
