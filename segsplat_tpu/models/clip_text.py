@@ -113,17 +113,22 @@ def project_features_to_labels(features: jax.Array, text_emb: jax.Array,
     return logit_scale * (f @ text_emb.T)
 
 
-def convert_torch_clip_text(state_dict) -> Dict[str, Any]:
+def convert_torch_clip_text(state_dict, heads: Optional[int] = None) -> Dict[str, Any]:
     """Map an OpenAI CLIP (or LSeg ``clip_pretrained``-prefixed) torch state dict
-    onto ClipTextEncoder param pytree. Accepts numpy-valued dicts."""
+    onto ClipTextEncoder param pytree. Accepts numpy-valued dicts. ``heads``
+    defaults to width//64 (correct for every published CLIP text config)."""
     sd = {}
     for k, v in state_dict.items():
-        k = k.replace("clip_pretrained.", "").replace("module.", "")
-        sd[k] = np.asarray(v)
+        # strip LEADING wrapper prefixes only (LSeg lightning nests the text
+        # tower as net.clip_pretrained.*; DDP adds module.)
+        for pre in ("module.", "net.", "clip_pretrained."):
+            while k.startswith(pre):
+                k = k[len(pre):]
+        sd[k] = np.asarray(v.detach().cpu() if hasattr(v, "detach") else v)
     width = sd["ln_final.weight"].shape[0]
     n_layers = max(int(k.split(".")[2]) for k in sd
                    if k.startswith("transformer.resblocks.")) + 1
-    heads = width // 64
+    heads = heads or width // 64
 
     p: Dict[str, Any] = {
         "token_embedding": {"embedding": sd["token_embedding.weight"]},

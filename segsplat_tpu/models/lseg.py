@@ -76,9 +76,30 @@ class ResidualConvUnit(nn.Module):
         return x + y
 
 
-def _resize2x(x):
+def _ac_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] bilinear interpolation matrix with align_corners=True
+    endpoint mapping (torch F.interpolate(..., align_corners=True) semantics,
+    which DPT/LSeg fusion uses — NOT half-pixel centers)."""
+    if n_in == 1 or n_out == 1:
+        return np.ones((n_out, n_in), np.float32) / n_in
+    src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    i0 = np.floor(src).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    f = (src - i0).astype(np.float32)
+    a = np.zeros((n_out, n_in), np.float32)
+    a[np.arange(n_out), i0] += 1.0 - f
+    a[np.arange(n_out), i1] += f
+    return a
+
+
+def resize_bilinear_align_corners(x: jax.Array, oh: int, ow: int) -> jax.Array:
+    """Bilinear resize of [B,H,W,C] with align_corners=True, as two small
+    matmuls (MXU-friendly; shapes are static so the matrices are constants)."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), "bilinear")
+    ah = jnp.asarray(_ac_matrix(h, oh), x.dtype)
+    aw = jnp.asarray(_ac_matrix(w, ow), x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", ah, x)
+    return jnp.einsum("pw,bowc->bopc", aw, y)
 
 
 class FusionBlock(nn.Module):
@@ -90,7 +111,8 @@ class FusionBlock(nn.Module):
         if skip is not None:
             x = x + ResidualConvUnit(self.features, self.dtype, name="rcu1")(skip)
         x = ResidualConvUnit(self.features, self.dtype, name="rcu2")(x)
-        x = _resize2x(x)
+        b, h, w, c = x.shape
+        x = resize_bilinear_align_corners(x, 2 * h, 2 * w)
         return nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")(x)
 
 
@@ -107,14 +129,18 @@ class LSegNet(nn.Module):
     out_dim: int = 512
     image_size: int = 384          # pos-embed native size; other sizes interpolate
     compute_dtype: Any = jnp.float32
+    # ImageNet stats: the reference normalizes input images with these OUTSIDE
+    # the torch model (extract_lseg_features.py:69); we fold the same transform
+    # into the forward so callers feed raw [0,1] images.
+    norm_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    norm_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
         """images [B, H, W, 3] in [0,1], H and W multiples of 2·patch."""
         B, H, W, _ = images.shape
         dt = self.compute_dtype
-        # CLIP-style normalization
-        mean = jnp.asarray([0.5, 0.5, 0.5]); std = jnp.asarray([0.5, 0.5, 0.5])
+        mean = jnp.asarray(self.norm_mean); std = jnp.asarray(self.norm_std)
         x = (images - mean) / std
         x = x.astype(dt)
 
@@ -152,10 +178,14 @@ class LSegNet(nn.Module):
             proj = nn.gelu(proj, approximate=False)
             fmap = proj.reshape(B, gh, gw, self.width)
             fmap = nn.Conv(rdim, (1, 1), dtype=dt, name=f"reassemble_{t}")(fmap)
-            if t == 0:      # ×4
-                fmap = jax.image.resize(fmap, (B, gh * 4, gw * 4, rdim), "bilinear")
-            elif t == 1:    # ×2
-                fmap = jax.image.resize(fmap, (B, gh * 2, gw * 2, rdim), "bilinear")
+            if t == 0:      # ×4 — LEARNED deconv (DPT act_postprocess1.4)
+                fmap = nn.ConvTranspose(rdim, (4, 4), strides=(4, 4),
+                                        transpose_kernel=True, dtype=dt,
+                                        name="upsample_0")(fmap)
+            elif t == 1:    # ×2 — LEARNED deconv (DPT act_postprocess2.4)
+                fmap = nn.ConvTranspose(rdim, (2, 2), strides=(2, 2),
+                                        transpose_kernel=True, dtype=dt,
+                                        name="upsample_1")(fmap)
             elif t == 3:    # ×½
                 fmap = nn.Conv(rdim, (3, 3), strides=(2, 2), padding=1,
                                dtype=dt, name="downsample_3")(fmap)
@@ -195,8 +225,9 @@ class LSegModel:
         """[B,H,W,3] → per-pixel 512-D features [B,H,W,512] (or half-res)."""
         f = self._apply(self.params, images)
         if upsample:
+            # lseg output_conv = Interpolate(×2, bilinear, align_corners=True)
             B, h, w, C = f.shape
-            f = jax.image.resize(f, (B, 2 * h, 2 * w, C), "bilinear")
+            f = resize_bilinear_align_corners(f, 2 * h, 2 * w)
         return f
 
     def logits(self, features: jax.Array, text_emb: jax.Array) -> jax.Array:
@@ -213,12 +244,16 @@ def pad_to_multiple(img: np.ndarray, multiple: int = 32) -> Tuple[np.ndarray, Tu
     return np.pad(img, ((0, ph), (0, pw), (0, 0))), (h, w)
 
 
-def convert_lseg_checkpoint(state_dict) -> Dict[str, Any]:
+def convert_lseg_checkpoint(state_dict, heads: Optional[int] = None) -> Dict[str, Any]:
     """Map the public LSeg demo checkpoint (torch, timm-ViT + DPT scratch naming)
-    onto LSegNet params. Input: dict of numpy arrays (torch tensors accepted)."""
+    onto LSegNet params. Input: dict of numpy arrays (torch tensors accepted).
+    ``heads`` defaults to width//64 (correct for every published timm ViT)."""
     sd = {}
     for k, v in state_dict.items():
-        k = k.replace("net.", "").replace("module.", "")
+        # strip LEADING wrapper prefixes only (lightning "net.", DDP "module.")
+        for pre in ("module.", "net."):
+            while k.startswith(pre):
+                k = k[len(pre):]
         sd[k] = np.asarray(v.detach().cpu() if hasattr(v, "detach") else v)
 
     def conv(w):  # torch OIHW → flax HWIO
@@ -231,8 +266,8 @@ def convert_lseg_checkpoint(state_dict) -> Dict[str, Any]:
     p["cls_token"] = sd[pre + "cls_token"].reshape(1, 1, -1)
     p["pos_embed"] = sd[pre + "pos_embed"][0]
     width = p["pos_embed"].shape[-1]
-    heads = width // 64
-    hd = 64
+    heads = heads or width // 64
+    hd = width // heads
     depth = max(int(k[len(pre + "blocks."):].split(".")[0])
                 for k in sd if k.startswith(pre + "blocks.")) + 1
     for i in range(depth):
@@ -259,12 +294,21 @@ def convert_lseg_checkpoint(state_dict) -> Dict[str, Any]:
                             "bias": sd[b + "mlp.fc2.bias"]}},
         }
     # readout projections + reassemble convs (act_postprocess1..4)
+    def deconv(w):  # torch ConvTranspose2d [in, out, kH, kW] → flax
+        # nn.ConvTranspose(transpose_kernel=True) layout [kH, kW, out, in]
+        return np.transpose(w, (2, 3, 1, 0))
+
     for t in range(4):
         ap = f"pretrained.act_postprocess{t + 1}."
         p[f"readout_{t}"] = {"kernel": sd[ap + "0.project.0.weight"].T,
                              "bias": sd[ap + "0.project.0.bias"]}
         p[f"reassemble_{t}"] = {"kernel": conv(sd[ap + "3.weight"]),
                                 "bias": sd[ap + "3.bias"]}
+    # tap-0/1 LEARNED deconv upsamplers (DPT act_postprocess{1,2}.4 are
+    # ConvTranspose2d k4s4 / k2s2 — checkpoint weights must not be dropped)
+    for t, name in ((0, "upsample_0"), (1, "upsample_1")):
+        k = f"pretrained.act_postprocess{t + 1}.4."
+        p[name] = {"kernel": deconv(sd[k + "weight"]), "bias": sd[k + "bias"]}
     if "pretrained.act_postprocess4.4.weight" in sd:
         p["downsample_3"] = {"kernel": conv(sd["pretrained.act_postprocess4.4.weight"]),
                              "bias": sd["pretrained.act_postprocess4.4.bias"]}
