@@ -11,9 +11,17 @@ The second north-star — multi-view 512-D feature-lift throughput (the
 reference's aggregate_voxel_features_onthefly.py loop: one CUDA kernel run +
 2 subprocesses + CPU resize + disk round-trip per view) — is reported in the
 same JSON object under "extra" at officescene scale (876×584 rays, ~109k
-voxels, 512 channels; BASELINE.md target "≥5× reference GPU", which has no
-published denominator, so the raw views/s is recorded for cross-round
-tracking).
+voxels, 512 channels). Its denominator is MEASURED: baseline_host_lift.json
+(scripts/measure_reference_baseline.py) times the reference's
+hardware-independent host stages per view on this machine — a lower bound on
+reference s/view with ZERO GPU time counted — and lift_vs_baseline is our
+views/s divided by that bound's views/s (so the reported ratio is itself a
+lower bound on the true speedup).
+
+"extra" also carries a HOSTILE render scene (clustered, mixed-scale,
+low-opacity Gaussians → heavy-tailed tile depth) with its FPS, real pair
+count, and the per-tile K-cap overflow — so the headline number can't hide
+behind a benign uniform scene and no truncation is silent.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
@@ -111,28 +119,131 @@ def main() -> None:
     rtt = time.perf_counter() - t0
 
     frames = 16
-    vms = jnp.stack([vm_of(0.002 * i) for i in range(frames)])
-    float(many(vms))  # compile + warm
+    # distinct viewmats per repeat so cache-friendly binning can't flatter
+    # the sort (3 repeats × 16 fresh camera angles)
+    vm_sets = [jnp.stack([vm_of(0.002 * (r * frames + i))
+                          for i in range(frames)]) for r in range(3)]
+    float(many(vm_sets[0]))  # compile + warm
     times = []
-    for _ in range(3):
+    for vms in vm_sets:
         t0 = time.perf_counter()
         float(many(vms))
         times.append(time.perf_counter() - t0)
     per_frame = (min(times) - rtt) / frames
     fps = 1.0 / per_frame
 
+    hostile = bench_hostile_render(rtt)
     vps = bench_lift(rtt)
+
+    extra = {
+        "lift_views_per_s": round(vps, 2),
+        "lift_config": "876x584 rays, 109k vox, 512ch, splat m=8 K=128",
+        "hostile_render": hostile,
+    }
+    denom_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "baseline_host_lift.json")
+    if os.path.exists(denom_path):
+        with open(denom_path) as f:
+            denom = json.load(f)
+        ref_vps = denom["views_per_s_upper_bound"]
+        extra["lift_vs_baseline"] = round(vps / ref_vps, 1)
+        extra["lift_baseline_views_per_s"] = ref_vps
 
     print(json.dumps({
         "metric": "semantic_render_fps_1080p_200k",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
-        "extra": {
-            "lift_views_per_s": round(vps, 2),
-            "lift_config": "876x584 rays, 109k vox, 512ch, splat m=8 K=128",
-        },
+        "extra": extra,
     }))
+
+
+def bench_hostile_render(rtt: float) -> dict:
+    """Adversarial 1080p scene: 200k Gaussians in 40 tight clusters with
+    log-normal mixed scales (splats from ~5 px to ~60 px) and a low-opacity
+    tail — heavy-tailed tile depth like a real trained scene after a densify
+    burst, unlike the benign uniform headline scene. pair_cap 6M (exact while
+    num_pairs stays below it — reported); reports FPS, the real pair count,
+    and the per-tile K-cap overflow so any truncation is visible in BENCH
+    json."""
+    import jax
+    import jax.numpy as jnp
+
+    from segsplat_tpu.core.types import Camera
+    from segsplat_tpu.ops.rasterize import rasterize
+
+    W, H = 1920, 1080
+    N = 200_000
+    rng = np.random.default_rng(7)
+
+    n_clusters = 40
+    cl_centers = (rng.random((n_clusters, 3)) * np.array([4.0, 3.0, 4.0])
+                  + np.array([-2.0, -1.5, 2.0]))
+    # heavy-tailed cluster sizes (a few clusters own most Gaussians)
+    w = rng.pareto(1.2, n_clusters) + 0.05
+    counts = np.maximum((w / w.sum() * N).astype(int), 1)
+    counts[0] += N - counts.sum()
+    assign = np.repeat(np.arange(n_clusters), counts)[:N]
+    xyz = (cl_centers[assign]
+           + rng.normal(0, 0.08, (N, 3))).astype(np.float32)
+    # mixed scales: median ~1 cm with a fat tail to ~10 cm
+    scales = np.exp(rng.normal(-4.3, 0.8, (N, 3))).astype(np.float32)
+    quats = rng.normal(size=(N, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.02, 0.9, (N,)).astype(np.float32)
+    logits = rng.standard_normal((N, 32)).astype(np.float32)
+
+    cam = Camera(R=jnp.eye(3), T=jnp.zeros(3),
+                 fov_x=jnp.asarray(1.2), fov_y=jnp.asarray(0.75),
+                 width=W, height=H)
+    K = cam.intrinsics()
+    bg = jnp.zeros((32,), jnp.float32)
+    kw = dict(width=W, height=H, max_tiles_per_axis=6, max_per_tile=512,
+              backend="pallas", pair_cap=6_000_000)
+
+    xyz_j, sc_j, qu_j = jnp.asarray(xyz), jnp.asarray(scales), jnp.asarray(quats)
+    op_j, lg_j = jnp.asarray(opac), jnp.asarray(logits)
+
+    def one_frame(vm):
+        out = rasterize(xyz_j, sc_j, qu_j, op_j, lg_j, vm,
+                        K[0, 0], K[1, 1], K[0, 2], K[1, 2], bg=bg, **kw)
+        probe = jnp.sum(jnp.argmax(out["image"], axis=-1).astype(jnp.int32))
+        return probe, out["num_pairs"], out["tile_overflow"]
+
+    @jax.jit
+    def many(vms):
+        def step(c, vm):
+            probe, npair, ovf = one_frame(vm)
+            return (c[0] + probe, jnp.maximum(c[1], npair),
+                    jnp.maximum(c[2], ovf)), None
+        (tot, npair, ovf), _ = jax.lax.scan(
+            step, (jnp.int32(0), jnp.int32(0), jnp.int32(0)), vms)
+        return tot, npair, ovf
+
+    def vm_of(a):
+        R = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                      [-np.sin(a), 0, np.cos(a)]], np.float32)
+        c = Camera(R=jnp.asarray(R), T=jnp.zeros(3),
+                   fov_x=jnp.asarray(1.2), fov_y=jnp.asarray(0.75),
+                   width=W, height=H)
+        return c.world_view_transform()
+
+    frames = 8
+    vm_sets = [jnp.stack([vm_of(0.003 * (r * frames + i))
+                          for i in range(frames)]) for r in range(3)]
+    tot, npair, ovf = many(vm_sets[0])
+    float(tot)  # compile + warm
+    times = []
+    for vms in vm_sets:
+        t0 = time.perf_counter()
+        t_, npair, ovf = many(vms)
+        float(t_)
+        times.append(time.perf_counter() - t0)
+    per_frame = (min(times) - rtt) / frames
+    return {"fps": round(1.0 / per_frame, 2),
+            "config": "1080p 200k clustered/mixed-scale/low-opacity m=6 K=512",
+            "max_pairs_per_frame": int(npair),
+            "tile_overflow_max": int(ovf)}
 
 
 def officescene_lift_scene(n_views: int = 8):

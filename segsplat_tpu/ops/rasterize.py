@@ -367,6 +367,11 @@ def _blend_tiles_pallas(proj: Projected, colors, opacities, bg,
         proj, width, height, max_tiles_per_axis,
         opacities=opacities if opacity_cull else None)
     n_pairs = offsets[-1]      # real (non-sentinel) pair count, pre-cap
+    # pairs beyond the per-tile K cap: the blend reads only the first K of
+    # each run, so these are silently dropped unless surfaced (the reference
+    # blends unbounded per-tile lists, gaussian_renderer/__init__.py:85-120)
+    tile_overflow = jnp.sum(jnp.maximum(
+        offsets[1:] - offsets[:-1] - max_per_tile, 0))
     if pair_cap is not None and pair_cap < rank_sorted.shape[0]:
         rank_sorted = rank_sorted[:pair_cap]
         offsets = jnp.minimum(offsets, pair_cap)
@@ -392,7 +397,7 @@ def _blend_tiles_pallas(proj: Projected, colors, opacities, bg,
         packed = sorted_payload.reshape(-1, 128)                     # free relayout
         img, alpha = blend_tiles_pallas_packed(offsets, packed, bg, tx_n,
                                                ty_n, K)
-        return img, alpha, n_pairs
+        return img, alpha, n_pairs, tile_overflow
 
     payload = jnp.concatenate([
         proj.means2d, proj.conics, opacities[:, None],
@@ -407,7 +412,7 @@ def _blend_tiles_pallas(proj: Projected, colors, opacities, bg,
 
     img, alpha = blend_core(offsets, sorted_payload, bg, tx_n, ty_n, K,
                             dma_block=dma_block)
-    return img, alpha, n_pairs
+    return img, alpha, n_pairs, tile_overflow
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_tiles_per_axis",
@@ -452,7 +457,8 @@ def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
     demand-issued pieces, +2.2 ms/frame at bench scale).
 
     Returns dict: image [H,W,CH], alpha [H,W], radii [N], visible [N] bool,
-    depths [N].
+    depths [N], tile_overflow (scalar: pairs dropped past the per-tile K cap),
+    num_pairs (pallas backend: real pair count before pair_cap).
     """
     CH = colors.shape[1]
     if bg is None:
@@ -462,7 +468,7 @@ def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
     if means2d_offset is not None:
         proj = proj._replace(means2d=proj.means2d + means2d_offset)
     if backend == "pallas":
-        img, alpha, n_pairs = _blend_tiles_pallas(
+        img, alpha, n_pairs, tile_overflow = _blend_tiles_pallas(
             proj, colors, opacities, bg, width, height, max_tiles_per_axis,
             max_per_tile, pair_cap=pair_cap, opacity_cull=opacity_cull,
             dma_block=dma_block)
@@ -471,6 +477,8 @@ def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
         sorted_gid, offsets, (tx_n, ty_n) = _bin_gaussians(
             proj, width, height, max_tiles_per_axis,
             opacities=opacities if opacity_cull else None)
+        tile_overflow = jnp.sum(jnp.maximum(
+            offsets[1:] - offsets[:-1] - max_per_tile, 0))
         img, alpha = _blend_tiles(sorted_gid, offsets, proj, colors, opacities,
                                   bg, tx_n, ty_n, max_per_tile, tile_chunk)
     out = {
@@ -484,6 +492,10 @@ def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
         # real pair count BEFORE the pair_cap truncation: consumers log it so
         # a too-small cap (dropped pairs AND gradients) is never silent
         out["num_pairs"] = n_pairs
+    # pairs beyond max_per_tile in some tile: dropped (deepest-first) by both
+    # blend paths, unlike the reference's unbounded per-tile lists — surfaced
+    # so dense scenes / densify bursts can't silently lose Gaussians+grads
+    out["tile_overflow"] = tile_overflow
     return out
 
 

@@ -88,8 +88,9 @@ def make_parallel_train_step(cfg: OptimizationConfig, optimizers, mesh: Mesh,
             )(params, code_book, offset, cameras, gt_images, gt_objs, bg, rngs,
               state.table)
             aux = {k: (v if k in ("radii", "visible")
-                       else jnp.max(v) if k == "num_pairs"   # worst view for
-                       else jnp.mean(v))                     # the cap warning
+                       # worst view for the cap/overflow warnings
+                       else jnp.max(v) if k in ("num_pairs", "tile_overflow")
+                       else jnp.mean(v))
                    for k, v in auxs.items()}
             return jnp.mean(totals), aux
 
@@ -117,6 +118,7 @@ def make_parallel_train_step(cfg: OptimizationConfig, optimizers, mesh: Mesh,
                     "total", "psnr")}
         if "num_pairs" in aux:
             metrics["num_pairs"] = aux["num_pairs"]
+        metrics["tile_overflow"] = aux["tile_overflow"]
         return new_state, metrics
 
     def place_batch(cameras: Camera, gt_images, gt_objs, rngs):

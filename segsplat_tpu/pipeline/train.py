@@ -241,6 +241,11 @@ def train(source_path: str, model_path: str,
                       f"{int(rec['num_pairs'])} at iter {it} — deepest pairs "
                       f"(and their gradients) are being dropped; raise "
                       f"--pair_cap")
+            if rec.get("tile_overflow", 0) > 0:
+                print(f"[WARN] {int(rec['tile_overflow'])} pairs beyond the "
+                      f"per-tile K cap at iter {it} — deepest Gaussians (and "
+                      f"their gradients) in dense tiles are being dropped; "
+                      f"raise max_per_tile (reference blends unbounded tiles)")
             # fail-fast numerics guard (SURVEY §5.2 — the TPU equivalent of the
             # reference's _DEBUG sync-and-check): a non-finite loss aborts with
             # the full loss breakdown instead of silently corrupting the table

@@ -91,6 +91,7 @@ def render(table: GaussianTable, camera: Camera,
     }
     if "num_pairs" in out:   # pair_cap overflow surfacing (see rasterize())
         result["num_pairs"] = out["num_pairs"]
+    result["tile_overflow"] = out["tile_overflow"]   # per-tile K-cap drops
     if semantic_logits is not None:
         result["semantic_logits"] = jnp.transpose(img[..., 19:19 + NUM_SEMANTIC_CHANNELS],
                                                   (2, 0, 1))

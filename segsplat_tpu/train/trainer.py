@@ -216,6 +216,7 @@ def compute_losses(table: GaussianTable, code_book: jax.Array, camera: Camera,
            "psnr": L.psnr(image, gt_image)}
     if num_pairs is not None:
         aux["num_pairs"] = num_pairs
+    aux["tile_overflow"] = out["tile_overflow"]
     return total, aux
 
 
@@ -255,6 +256,7 @@ def make_train_step(cfg: OptimizationConfig, optimizers, raster_kw: Optional[dic
                     "total", "psnr")}
         if "num_pairs" in aux:
             metrics["num_pairs"] = aux["num_pairs"]
+        metrics["tile_overflow"] = aux["tile_overflow"]
         return new_state, metrics
 
     return train_step

@@ -141,3 +141,41 @@ def test_background_composites():
                       CAM["width"], CAM["height"], bg=jnp.array([0.25, 0.5, 0.75]))
     img = np.asarray(out["image"])
     assert np.allclose(img, np.array([0.25, 0.5, 0.75]), atol=1e-6)
+
+
+def test_tile_overflow_surfaced_vs_unbounded_oracle(rng):
+    """Depth complexity > max_per_tile: the K-cap drop is REPORTED
+    (tile_overflow > 0), and raising K back above the stack depth reproduces
+    the unbounded oracle blend exactly (the reference's per-tile lists are
+    unbounded, gaussian_renderer/__init__.py:85-120)."""
+    n = 80
+    # all Gaussians stacked over the same few pixels → one deep tile
+    means3d = np.column_stack([
+        rng.uniform(-0.02, 0.02, n), rng.uniform(-0.02, 0.02, n),
+        rng.uniform(1.0, 3.0, n)]).astype(np.float32)
+    scales = np.full((n, 3), 0.05, np.float32)
+    quats = np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32)
+    opac = rng.uniform(0.02, 0.1, n).astype(np.float32)   # low → no early-out
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    args = (jnp.asarray(means3d), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(colors), jnp.eye(4),
+            CAM["fx"], CAM["fy"], CAM["cx"], CAM["cy"],
+            CAM["width"], CAM["height"])
+
+    capped = R.rasterize(*args, bg=jnp.zeros(3), max_per_tile=16)
+    assert int(capped["tile_overflow"]) > 0
+
+    full = R.rasterize(*args, bg=jnp.zeros(3), max_per_tile=128)
+    assert int(full["tile_overflow"]) == 0
+    proj = R.project_gaussians(jnp.asarray(means3d), jnp.asarray(scales),
+                               jnp.asarray(quats), jnp.eye(4),
+                               CAM["fx"], CAM["fy"], CAM["cx"], CAM["cy"],
+                               CAM["width"], CAM["height"])
+    ref_img, _ = oracles.oracle_rasterize(
+        np.asarray(proj.means2d), np.asarray(proj.conics),
+        np.asarray(proj.depths), np.asarray(proj.radii),
+        np.asarray(proj.valid), colors, opac, np.zeros(3),
+        CAM["width"], CAM["height"])
+    assert np.abs(np.asarray(full["image"]) - ref_img).max() < 5e-3
+    # the capped render must actually differ (pairs were dropped, not hidden)
+    assert np.abs(np.asarray(capped["image"]) - ref_img).max() > 1e-3
