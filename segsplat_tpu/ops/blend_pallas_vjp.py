@@ -294,9 +294,12 @@ def _blend_core_bwd(tx_n, ty_n, k_max, g_block, dma_block, res, cot):
     alpha_t = _image_to_tiles(alpha, tx_n, ty_n).reshape(T, 1, PX)
     gimg_t = _image_to_tiles(g_img, tx_n, ty_n)
     galpha_t = _image_to_tiles(g_alpha, tx_n, ty_n).reshape(T, 1, PX)
+    # same None->256-if-divisible default as the forward (blend_pallas.py):
+    # the measured 256-row block win applies to the backward body too
     d_payload, d_bg = _blend_bwd_pallas(
         offsets, sorted_payload, bg, img_t, alpha_t, gimg_t, galpha_t,
-        tx_n, ty_n, k_max, g_block=g_block or 128)
+        tx_n, ty_n, k_max,
+        g_block=g_block or (256 if k_max % 256 == 0 else 128))
     return None, d_payload, d_bg
 
 

@@ -71,10 +71,12 @@ def inpaint_pushpull(image: jax.Array, hole: jax.Array,
     hole3 = hole[..., None]
 
     def jacobi(_, x):
-        up_ = jnp.roll(x, 1, axis=0)
-        dn = jnp.roll(x, -1, axis=0)
-        lf = jnp.roll(x, 1, axis=1)
-        rt = jnp.roll(x, -1, axis=1)
+        # edge-clamped 4-neighbor shifts (jnp.roll would wrap borders and
+        # bleed the opposite edge's colors into frame-border holes)
+        up_ = jnp.concatenate([x[:1], x[:-1]], axis=0)
+        dn = jnp.concatenate([x[1:], x[-1:]], axis=0)
+        lf = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+        rt = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
         avg = (up_ + dn + lf + rt) * 0.25
         return jnp.where(hole3, avg, x)
 

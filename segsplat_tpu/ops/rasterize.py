@@ -309,9 +309,13 @@ def _bin_gaussian_ranks(proj: Projected, width: int, height: int,
         # in rasterize(); keep it for large-splat / low-opacity workloads.
         op_s = opacities[order]
         ln_cut = jnp.log(jnp.maximum(255.0 * jnp.minimum(op_s, 0.999), 1e-12))
-        d2_max = (2.0 / 9.0) * ln_cut * radii * radii + 1e-3       # [N]
-        # +1e-3 margin keeps borderline pairs (float rounding must never cull
-        # a pair whose true max alpha reaches the 1/255 cutoff)
+        d2_max = (2.0 / 9.0) * ln_cut * radii * radii              # [N]
+        # margin keeps borderline pairs (float rounding must never cull a
+        # pair whose true max alpha reaches the 1/255 cutoff); it must SCALE
+        # with the coordinate magnitude — at 1080p the rect-distance math
+        # rounds at ~1e-2 for large d², where an absolute 1e-3 would be
+        # smaller than one ulp
+        d2_max = d2_max + 1e-3 + 1e-5 * jnp.abs(d2_max)
         rx0 = txs.astype(jnp.float32) * TILE + 0.5                 # pixel-center
         ry0 = tys.astype(jnp.float32) * TILE + 0.5                 # rect bounds
         ddx = jnp.maximum(jnp.maximum(rx0 - means2d[None, :, 0],

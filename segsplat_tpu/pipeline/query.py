@@ -187,7 +187,12 @@ def text_query_mask(feature_map: np.ndarray, prompt: str,
     def relevancy(feats, text):
         n = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
         logits = 100.0 * jnp.einsum("hwc,pc->hwp", n, text)
-        return jax.nn.softmax(logits, axis=-1)[..., 0]
+        # canonical LERF relevancy: min over per-negative PAIRWISE softmaxes
+        # softmax([s_p, s_ni])[0] = sigmoid(s_p - s_ni), minimized at the
+        # hardest negative — NOT one (P+1)-way softmax, whose score dilutes
+        # with the negative count and shifts the threshold semantics
+        return jax.nn.sigmoid(logits[..., 0]
+                              - jnp.max(logits[..., 1:], axis=-1))
 
     rel = np.asarray(relevancy(jnp.asarray(f), jnp.asarray(emb)))
     return rel > threshold

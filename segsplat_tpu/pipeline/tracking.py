@@ -143,7 +143,10 @@ def associate_sequence(frames: Iterable[np.ndarray],
     for frame in frames:
         inst = extract_instances(np.asarray(frame), cfg.min_pixels)
         ids = tracker.update(inst)
-        canvas = np.zeros(np.asarray(frame).shape, np.uint8)
+        # canvas dtype follows the id budget: uint8 would alias ids mod 256
+        # if a user raises max_ids past 255
+        dtype = np.uint8 if cfg.max_ids <= 255 else np.uint16
+        canvas = np.zeros(np.asarray(frame).shape, dtype)
         for mask, gid in zip(inst, ids):
             canvas[mask] = gid
         out.append(canvas)
