@@ -50,6 +50,9 @@ def main(argv=None):
                                                   build_voxel_grid, save_grid)
     from segsplat_tpu.utils.system import search_for_max_iteration
 
+    import time as _time
+    stage_t = {}
+
     it = args.iteration
     if it == -1:
         it = search_for_max_iteration(os.path.join(args.model_path, "point_cloud"))
@@ -59,6 +62,7 @@ def main(argv=None):
     os.makedirs(work, exist_ok=True)
 
     print(f"[1/5] voxel grid from {ply}")
+    _t0 = _time.perf_counter()
     grid = build_voxel_grid(ply, GridFilterConfig(
         cell_size=args.cell_size, opacity_threshold=args.opacity_threshold,
         density_eps=args.density_eps,
@@ -66,9 +70,11 @@ def main(argv=None):
         normal_consistency=1.0), advanced=True)
     grid_ply = os.path.join(work, f"grid_{grid['stats']['voxels']}vox.ply")
     save_grid(grid_ply, grid)
+    stage_t["voxel_grid"] = _time.perf_counter() - _t0
     print(f"      {grid['stats']}")
 
     print("[2/5] multi-view feature lift")
+    _t0 = _time.perf_counter()
     lift = aggregate_voxel_features(
         grid_ply, args.lseg_dir, args.camera_params, work,
         LiftConfig(max_views=args.max_views))
@@ -76,27 +82,37 @@ def main(argv=None):
     # work_dir can pick up a stale artifact from a previous run with
     # different grid parameters (the filename embeds the voxel count)
     vox_pt = lift["artifact"]
+    stage_t["lift"] = _time.perf_counter() - _t0
 
     print("[3/5] gaussian centers + 1-NN map")
+    _t0 = _time.perf_counter()
     mu = os.path.join(work, "gaussian_mu.npy")
     extract_gaussian_centers(ply, mu)
     g2v = os.path.join(work, "gauss2voxel.npy")
     build_map(vox_pt, mu, g2v)
+    stage_t["centers_map"] = _time.perf_counter() - _t0
 
     print(f"[4/5] open-vocab query: {args.prompt}")
+    _t0 = _time.perf_counter()
     sem = os.path.join(work, "gaussian_semantics.npz")
     query(vox_pt, g2v, mu, args.prompt, sem)
+    stage_t["query"] = _time.perf_counter() - _t0
 
     if not args.skip_render:
         print("[5/5] semantic novel-view rendering")
         import render_semantics_logits as rsl
+        _t0 = _time.perf_counter()
         rsl.main(["--model_path", args.model_path, "--source_path",
                   args.source_path, "--iteration", str(it),
                   "--semantics", sem, "--skip_test"])
+        stage_t["render"] = _time.perf_counter() - _t0
 
     if args.parity_dir:
         if not _check_parity(args.parity_dir, vox_pt, sem, grid_ply):
             raise SystemExit("[PARITY] FAILED — see report above")
+    import json as _json
+    print("[TIMING] " + _json.dumps(
+        {k: round(v, 1) for k, v in stage_t.items()}))
     print(f"[DONE] artifacts in {work}")
 
 

@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Full-pipeline run at officescene scale on the real chip (VERDICT round-2
+item #8): fabricate a trained-model stand-in at the reference's production
+dimensions — 200k Gaussians, ~109k voxels @ 0.04 m, 876×584 lift/render
+resolution, 512-channel LSeg-shaped features, 216 cameras — then drive
+run_pipeline.py end-to-end and report per-stage wall-clock.
+
+Scale anchors (BASELINE.md): images 1752×1168 lifted at 0.5×
+(colmap_camera_params.sh:6-8, aggregate_voxel_features_onthefly.py:209),
+features saved at shorter-side 360 → [512, 360, 540] fp16
+(extract_lseg_features.py:66,97), 87-109k voxel grids, 216 views (:106).
+
+Feature payload note: every lift view streams a 190 MB fp16 map host→device.
+On production hardware that is a PCIe/DMA blip (~20 ms); through the axon
+tunnel it is the bottleneck (measured 13 MB/s ≈ 15 s/view), so --lift_views
+defaults to 16 (full per-view compute at full scale; the on-device rate is
+benchmarked separately by bench.py's lax.scan methodology). The query and
+render stages run over ALL 216 views.
+
+Usage: python scripts/officescene_scale_run.py [--work /tmp/officescene_scale]
+       [--lift_views 16] [--render_views 216]
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import json
+import os
+import time
+from argparse import ArgumentParser
+
+import numpy as np
+
+# the 13 officescene prompts (voxeltoGaussian_logits.sh)
+PROMPTS = ["chair", "cabinet", "window", "wall", "door", "keyboard",
+           "ceiling", "floor", "table", "laptop", "paper", "light", "monitor"]
+
+NATIVE_W, NATIVE_H = 1752, 1168     # officescene camera native resolution
+REND_W, REND_H = 876, 584           # 0.5× lift/render resolution
+FEAT_H, FEAT_W, C = 360, 540, 512   # LSeg on-disk feature map
+N_GAUSS = 200_000
+N_VIEWS = 216
+FX_NATIVE = 1400.0
+
+
+def room_points(rng, n):
+    """Gaussian centers shaped like a furnished room: walls/floor/ceiling
+    shells + clutter blobs — yields ~100k occupied 0.04 m voxels."""
+    L, Hh, D = 3.6, 2.8, 3.6                       # room extents (m)
+    counts = [int(n * f) for f in (0.14, 0.14, 0.10, 0.10, 0.07, 0.07)]
+    walls = []
+    u = lambda k: rng.random(k)
+    k = counts[0]; walls.append(np.stack(          # floor / ceiling
+        [u(k) * L - L / 2, np.zeros(k), u(k) * D - D / 2], 1))
+    k = counts[1]; walls.append(np.stack(
+        [u(k) * L - L / 2, np.full(k, Hh), u(k) * D - D / 2], 1))
+    k = counts[2]; walls.append(np.stack(          # side walls
+        [np.full(k, -L / 2), u(k) * Hh, u(k) * D - D / 2], 1))
+    k = counts[3]; walls.append(np.stack(
+        [np.full(k, L / 2), u(k) * Hh, u(k) * D - D / 2], 1))
+    k = counts[4]; walls.append(np.stack(          # back / front walls
+        [u(k) * L - L / 2, u(k) * Hh, np.full(k, -D / 2)], 1))
+    k = counts[5]; walls.append(np.stack(
+        [u(k) * L - L / 2, u(k) * Hh, np.full(k, D / 2)], 1))
+    pts = [np.concatenate(walls) + rng.normal(0, 0.015, (sum(counts), 3))]
+    # clutter: 30 furniture-ish blobs
+    remaining = n - sum(counts)
+    blob_c = np.stack([u(30) * (L - 1) - (L - 1) / 2, u(30) * 1.2,
+                       u(30) * (D - 1) - (D - 1) / 2], 1)
+    per = remaining // 30
+    for b in range(30):
+        k = per if b < 29 else remaining - per * 29
+        pts.append(blob_c[b] + rng.normal(0, 0.22, (k, 3)) *
+                   np.array([1.0, 0.6, 1.0]))
+    return np.concatenate(pts)[:n].astype(np.float32)
+
+
+def fabricate(work: str, rng):
+    from PIL import Image
+
+    from segsplat_tpu.core.transforms import rotmat2qvec
+    from segsplat_tpu.io.colmap import (ColmapCamera, ColmapImage,
+                                        write_extrinsics_binary,
+                                        write_intrinsics_binary,
+                                        write_points3D_binary)
+    from segsplat_tpu.io.ply import save_gaussian_ply
+
+    src = os.path.join(work, "scene")
+    model = os.path.join(work, "model")
+    lseg = os.path.join(work, "lseg_features")
+    pc_dir = os.path.join(model, "point_cloud", "iteration_30000")
+    for d in (os.path.join(src, "sparse", "0"), os.path.join(src, "images"),
+              lseg, pc_dir):
+        os.makedirs(d, exist_ok=True)
+
+    # trained-model stand-in: 200k Gaussians (raw storage conventions —
+    # opacity pre-sigmoid, scales log-space — scene/gaussian_model.py)
+    xyz = room_points(rng, N_GAUSS)
+    n = len(xyz)
+    f_dc = rng.random((n, 1, 3)).astype(np.float32) - 0.5
+    f_rest = np.zeros((n, 15, 3), np.float32)
+    opacity = np.full((n, 1), 2.2, np.float32)          # sigmoid → 0.90
+    scaling = rng.normal(-4.0, 0.3, (n, 3)).astype(np.float32)
+    rots = rng.normal(size=(n, 4)).astype(np.float32)
+    rots /= np.linalg.norm(rots, axis=1, keepdims=True)
+    obj_dc = rng.normal(0, 0.1, (n, 1, 16)).astype(np.float32)
+    ply = os.path.join(pc_dir, "point_cloud.ply")
+    save_gaussian_ply(ply, xyz, f_dc, f_rest, opacity, scaling, rots, obj_dc)
+
+    # 216 orbit cameras inside the room, at RENDER resolution for the scene
+    # and NATIVE intrinsics for the lift camera json (downsample 0.5 inside)
+    cams = {1: ColmapCamera(id=1, model="PINHOLE", width=REND_W, height=REND_H,
+                            params=np.array([FX_NATIVE / 2, FX_NATIVE / 2,
+                                             REND_W / 2, REND_H / 2]))}
+    images = {}
+    cam_json = {"images": {}, "cameras": {
+        "1": {"model": "PINHOLE", "width": NATIVE_W, "height": NATIVE_H,
+              "params": [FX_NATIVE, NATIVE_W / 2, NATIVE_H / 2]}}}
+    flat = Image.fromarray(np.full((REND_H, REND_W, 3), 128, np.uint8))
+    for i in range(N_VIEWS):
+        ang = 2 * np.pi * i / N_VIEWS
+        pos = np.array([1.1 * np.sin(ang), 1.3 + 0.15 * np.sin(3 * ang),
+                        -1.1 * np.cos(ang)])
+        fwd = np.array([np.sin(ang), -0.1, -np.cos(ang)])
+        fwd /= np.linalg.norm(fwd)
+        right = np.cross([0.0, 1.0, 0.0], fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        Rwc = np.stack([right, up, fwd], axis=0)
+        tvec = -Rwc @ pos
+        name = f"frame_{i:03d}.png"
+        flat.save(os.path.join(src, "images", name))
+        images[i + 1] = ColmapImage(
+            id=i + 1, qvec=rotmat2qvec(Rwc), tvec=tvec, camera_id=1,
+            name=name, xys=np.zeros((0, 2)), point3D_ids=np.zeros(0, np.int64))
+        cam_json["images"][str(i + 1)] = {
+            "name": name, "R": Rwc.tolist(), "tvec": tvec.tolist(),
+            "camera_id": "1"}
+    write_intrinsics_binary(os.path.join(src, "sparse", "0", "cameras.bin"),
+                            cams)
+    write_extrinsics_binary(os.path.join(src, "sparse", "0", "images.bin"),
+                            images)
+    sel = rng.choice(n, 30_000, replace=False)
+    write_points3D_binary(os.path.join(src, "sparse", "0", "points3D.bin"),
+                          xyz[sel], np.full((len(sel), 3), 127, np.uint8))
+    cam_params = os.path.join(work, "camera_params.json")
+    with open(cam_params, "w") as f:
+        json.dump(cam_json, f)
+
+    # ONE real [512,360,540] fp16 feature payload + symlinks for every view
+    # (per-view bytes and math identical; content repetition is irrelevant to
+    # the lift). 190 MB on disk instead of 42 GB.
+    feat = rng.standard_normal((C, FEAT_H, FEAT_W)).astype(np.float16)
+    feat_path = os.path.join(lseg, "frame_000.npy")
+    np.save(feat_path, feat)
+    for i in range(1, N_VIEWS):
+        link = os.path.join(lseg, f"frame_{i:03d}.npy")
+        if not os.path.exists(link):
+            os.symlink(feat_path, link)
+    return src, model, lseg, cam_params
+
+
+def main(argv=None):
+    p = ArgumentParser()
+    p.add_argument("--work", default="/tmp/officescene_scale")
+    p.add_argument("--lift_views", type=int, default=16)
+    p.add_argument("--render_views", type=int, default=N_VIEWS)
+    p.add_argument("--skip_render", action="store_true")
+    args = p.parse_args(argv)
+
+    os.makedirs(args.work, exist_ok=True)
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    src, model, lseg, cam_params = fabricate(args.work, rng)
+    print(f"[FABRICATE] {time.perf_counter() - t0:.1f}s")
+
+    import run_pipeline
+    argv2 = ["-s", src, "-m", model, "--iteration", "30000",
+             "--lseg_dir", lseg, "--camera_params", cam_params,
+             "--prompt", *PROMPTS, "--cell_size", "0.04",
+             "--max_views", str(args.lift_views),
+             "--work_dir", os.path.join(args.work, "semantic_pipeline")]
+    if args.skip_render:
+        argv2.append("--skip_render")
+    t0 = time.perf_counter()
+    run_pipeline.main(argv2)
+    print(f"[TOTAL] {time.perf_counter() - t0:.1f}s "
+          f"(lift_views={args.lift_views})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,361 @@
+#!/usr/bin/env python
+"""Close the pseudo-label quality loop (VERDICT round-2 item #4): does
+Unified-Lift training on OUR SLIC+track pseudo-labels converge to clean
+instance identities, the way the reference converges on DEVA labels?
+
+End-to-end, all in-framework:
+  1. build a synthetic multi-object Gaussian scene (K colored blobs, known
+     per-Gaussian GT object ids) and render an F-frame orbit sweep with the
+     framework's own rasterizer → RGB frames + per-pixel GT instance maps;
+  2. write it to disk as a COLMAP-layout dataset (sparse/0 bins via io/colmap
+     writers, images/), run scripts/prepare_pseudo_label.py's segment + track
+     stages to produce object_mask/ (the reference's DEVA output contract,
+     prepare_pseudo_label.sh:24-57 feeding dataset_readers.py:105-106);
+  3. measure TRACKER TEMPORAL CONSISTENCY against the GT id maps;
+  4. train Unified-Lift on the pseudo-labels (pipeline/train.py), then render
+     16-ch identity features per view, classify with the trained codebook
+     (the scripts/render_lerf_mask.py argmax path), Hungarian-match predicted
+     classes to GT objects (ops/assignment), and report POST-TRAIN IDENTITY
+     mIoU vs GT.
+
+Numbers land in stdout (JSON line) and BASELINE.md; the fast assertion slice
+lives in tests/test_pseudo_label_loop.py.
+
+Usage: python scripts/pseudo_label_loop.py [--frames 36] [--iterations 600]
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import json
+import os
+import time
+from argparse import ArgumentParser
+
+import numpy as np
+
+N_OBJECTS = 5
+
+
+# ───────────────────────── scene + GT sweep ─────────────────────────
+
+def build_objects(rng, per_obj: int = 200):
+    """K colored Gaussian blobs around the origin; returns dict of arrays
+    incl. per-Gaussian GT object id (1-based; 0 = background)."""
+    centers = np.array([[0.6, 0.0, 0.0], [-0.5, 0.35, 0.2],
+                        [0.0, -0.55, -0.3], [-0.1, 0.5, -0.45],
+                        [0.15, -0.1, 0.55]])[:N_OBJECTS]
+    base_colors = np.array([[0.9, 0.15, 0.1], [0.1, 0.8, 0.2],
+                            [0.15, 0.25, 0.9], [0.9, 0.8, 0.1],
+                            [0.8, 0.15, 0.85]])[:N_OBJECTS]
+    xyz, rgb, oid = [], [], []
+    for k in range(N_OBJECTS):
+        xyz.append(centers[k] + rng.normal(0, 0.16, (per_obj, 3)))
+        rgb.append(np.clip(base_colors[k] + rng.normal(0, 0.03, (per_obj, 3)),
+                           0, 1))
+        oid.append(np.full(per_obj, k + 1))
+    n = N_OBJECTS * per_obj
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    return dict(
+        xyz=np.concatenate(xyz).astype(np.float32),
+        rgb=np.concatenate(rgb).astype(np.float32),
+        oid=np.concatenate(oid).astype(np.int32),
+        scales=np.exp(rng.normal(-3.6, 0.15, (n, 3))).astype(np.float32),
+        quats=quats,
+        opac=rng.uniform(0.88, 0.99, n).astype(np.float32))
+
+
+def orbit_cameras(F: int, H: int, W: int, radius: float = 3.0,
+                  fov: float = 0.9):
+    """F inward-looking w2c poses on a tilted orbit; returns (Rwc, tvec) lists
+    plus fx/fy."""
+    from segsplat_tpu.core.transforms import fov2focal
+
+    Rs, ts = [], []
+    for i in range(F):
+        ang = 2 * np.pi * i / F
+        pos = np.array([radius * np.sin(ang), 0.6 * np.sin(2 * ang),
+                        -radius * np.cos(ang)])
+        fwd = -pos / np.linalg.norm(pos)
+        right = np.cross([0.0, 1.0, 0.0], fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        Rwc = np.stack([right, up, fwd], axis=0)   # rows = cam axes → w2c
+        Rs.append(Rwc)
+        ts.append(-Rwc @ pos)
+    fx = fov2focal(fov, W)
+    return Rs, ts, fx, fx
+
+
+def render_sweep(g, Rs, ts, fx, fy, H, W):
+    """RGB frames + GT instance-id maps via the framework rasterizer (one-hot
+    object channels; alpha<0.5 → background 0)."""
+    import jax.numpy as jnp
+
+    from segsplat_tpu.core.types import Camera
+    from segsplat_tpu.ops.rasterize import rasterize
+
+    onehot = np.zeros((len(g["oid"]), N_OBJECTS), np.float32)
+    onehot[np.arange(len(g["oid"])), g["oid"] - 1] = 1.0
+    payload = jnp.asarray(np.concatenate([g["rgb"], onehot], axis=1))
+    import jax as _jax
+    kw = dict(width=W, height=H, max_tiles_per_axis=6, max_per_tile=512,
+              backend="xla" if _jax.default_backend() == "cpu" else "pallas",
+              tile_chunk=16)
+    rgbs, gts = [], []
+    for Rwc, t in zip(Rs, ts):
+        cam = Camera(R=jnp.asarray(Rwc.T), T=jnp.asarray(t),
+                     fov_x=jnp.asarray(2 * np.arctan(W / (2 * fx))),
+                     fov_y=jnp.asarray(2 * np.arctan(H / (2 * fy))),
+                     width=W, height=H)
+        out = rasterize(jnp.asarray(g["xyz"]), jnp.asarray(g["scales"]),
+                        jnp.asarray(g["quats"]), jnp.asarray(g["opac"]),
+                        payload, cam.world_view_transform(), fx, fy,
+                        W / 2, H / 2, bg=jnp.zeros(3 + N_OBJECTS), **kw)
+        img = np.asarray(out["image"])
+        alpha = np.asarray(out["alpha"])
+        rgbs.append(np.clip(img[..., :3], 0, 1))
+        gt = np.argmax(img[..., 3:], axis=-1) + 1
+        gt[alpha < 0.5] = 0
+        gts.append(gt.astype(np.int32))
+    return np.stack(rgbs), np.stack(gts)
+
+
+def write_colmap_scene(root, g, Rs, ts, fx, fy, rgbs):
+    """COLMAP-layout dataset (sparse/0 + images/) via io/colmap writers."""
+    from PIL import Image
+
+    from segsplat_tpu.core.transforms import rotmat2qvec
+    from segsplat_tpu.io.colmap import (ColmapCamera, ColmapImage,
+                                        write_extrinsics_binary,
+                                        write_intrinsics_binary,
+                                        write_points3D_binary)
+
+    F, H, W = rgbs.shape[:3]
+    os.makedirs(os.path.join(root, "sparse", "0"), exist_ok=True)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    cams = {1: ColmapCamera(id=1, model="PINHOLE", width=W, height=H,
+                            params=np.array([fx, fy, W / 2, H / 2]))}
+    images = {}
+    for i, (Rwc, t) in enumerate(zip(Rs, ts)):
+        name = f"frame_{i:03d}.png"
+        Image.fromarray((rgbs[i] * 255).astype(np.uint8)).save(
+            os.path.join(root, "images", name))
+        images[i + 1] = ColmapImage(
+            id=i + 1, qvec=rotmat2qvec(Rwc), tvec=np.asarray(t), camera_id=1,
+            name=name, xys=np.zeros((0, 2)), point3D_ids=np.zeros(0, np.int64))
+    write_intrinsics_binary(os.path.join(root, "sparse", "0", "cameras.bin"),
+                            cams)
+    write_extrinsics_binary(os.path.join(root, "sparse", "0", "images.bin"),
+                            images)
+    # init point cloud: all GT centers with their colors
+    sel = np.arange(len(g["xyz"]))
+    write_points3D_binary(os.path.join(root, "sparse", "0", "points3D.bin"),
+                          g["xyz"][sel],
+                          (g["rgb"][sel] * 255).astype(np.uint8))
+
+
+# ───────────────────────── metrics ─────────────────────────
+
+def tracker_consistency(tracked, gts):
+    """Temporal id-consistency: for each track, its majority GT object across
+    the sweep; score = pixel-weighted fraction of (frame, track) masses whose
+    per-frame majority GT object equals the track's global majority. 1.0 =
+    every track means the same GT object in every frame it appears."""
+    F = len(tracked)
+    n_tracks = int(max(t.max() for t in tracked))
+    votes = {}                       # track → {gt_obj: pixels}
+    frame_major = []                 # per frame: track → (majority gt, pixels)
+    for f in range(F):
+        tr, gt = tracked[f], gts[f]
+        fm = {}
+        for tid in np.unique(tr):
+            if tid == 0:
+                continue
+            sel = tr == tid
+            lab, cnt = np.unique(gt[sel], return_counts=True)
+            maj = int(lab[cnt.argmax()])
+            fm[int(tid)] = (maj, int(sel.sum()))
+            votes.setdefault(int(tid), {})
+            votes[int(tid)][maj] = votes[int(tid)].get(maj, 0) + int(sel.sum())
+        frame_major.append(fm)
+    global_major = {tid: max(v, key=v.get) for tid, v in votes.items()}
+    agree = total = 0
+    for fm in frame_major:
+        for tid, (maj, px) in fm.items():
+            total += px
+            if maj == global_major[tid]:
+                agree += px
+    return (agree / max(total, 1)), n_tracks
+
+
+def match_miou(pred, gts, n_pred_classes):
+    """Hungarian-match predicted class ids to GT objects (incl. background 0)
+    on total intersection, then report per-GT-object IoU. Uses the
+    framework's on-device JV solver (ops/assignment)."""
+    import jax.numpy as jnp
+
+    from segsplat_tpu.ops.assignment import linear_sum_assignment
+
+    gt_classes = N_OBJECTS + 1
+    inter = np.zeros((n_pred_classes, gt_classes), np.int64)
+    parea = np.zeros(n_pred_classes, np.int64)
+    garea = np.zeros(gt_classes, np.int64)
+    for p, gt in zip(pred, gts):
+        idx = p.astype(np.int64) * gt_classes + gt.astype(np.int64)
+        inter += np.bincount(idx.ravel(),
+                             minlength=n_pred_classes * gt_classes
+                             ).reshape(n_pred_classes, gt_classes)
+        parea += np.bincount(p.ravel(), minlength=n_pred_classes)
+        garea += np.bincount(gt.ravel(), minlength=gt_classes)
+    iou = inter / np.maximum(parea[:, None] + garea[None, :] - inter, 1)
+
+    # protocol 1 (reference select_obj_ioa semantics, train/editing.py): for
+    # each GT object, GROUP every predicted class whose IoA
+    # (inter/class-area) > 0.7 into one union mask, then union IoU — the
+    # codebook legitimately splits one object into several classes (the
+    # tracker's ids are views of regions, not objects), and the reference's
+    # own query path groups them the same way
+    ioa = inter / np.maximum(parea[:, None], 1)
+    grouped = []
+    for gt_cls in range(1, gt_classes):
+        sel = np.flatnonzero(ioa[1:, gt_cls] > 0.7) + 1   # skip pred bg 0
+        si = inter[sel, gt_cls].sum()
+        sp = parea[sel].sum()
+        grouped.append(float(si / max(sp + garea[gt_cls] - si, 1)))
+
+    # protocol 2 (strict 1-1 Hungarian on IoU) as the conservative lower
+    # bound, via the framework's on-device JV solver
+    dim = max(n_pred_classes, gt_classes)
+    cost = np.zeros((dim, dim), np.float32)
+    cost[:n_pred_classes, :gt_classes] = -iou
+    col_of_row = np.asarray(linear_sum_assignment(jnp.asarray(cost))[0])
+    per_obj = {}
+    for p_cls in range(n_pred_classes):
+        gt_cls = int(col_of_row[p_cls])
+        if gt_cls < gt_classes and iou[p_cls, gt_cls] > 0:
+            per_obj[gt_cls] = float(iou[p_cls, gt_cls])
+    obj_ious = [per_obj.get(k, 0.0) for k in range(1, gt_classes)]
+    return float(np.mean(grouped)), grouped, float(np.mean(obj_ious)), per_obj.get(0, 0.0)
+
+
+def predict_identity_maps(state, Rs, ts, fx, fy, H, W, raster_kw):
+    """Post-train: render 16-ch identity features per view, classify with the
+    trained codebook (argmax — the render_lerf_mask.py path), gate background
+    by alpha."""
+    import jax
+    import jax.numpy as jnp
+
+    from segsplat_tpu.core.types import Camera
+    from segsplat_tpu.render import render
+
+    code_book = state.code_book
+    preds = []
+    for Rwc, t in zip(Rs, ts):
+        cam = Camera(R=jnp.asarray(Rwc.T), T=jnp.asarray(t),
+                     fov_x=jnp.asarray(2 * np.arctan(W / (2 * fx))),
+                     fov_y=jnp.asarray(2 * np.arctan(H / (2 * fy))),
+                     width=W, height=H)
+        out = render(state.table, cam, jnp.zeros(3), **raster_kw)
+        obj = out["render_object"]                     # [16, H, W]
+        logits = jnp.einsum("co,ohw->chw", code_book, obj)
+        pred = np.asarray(jnp.argmax(logits, axis=0)) + 1
+        pred[np.asarray(out["alpha"]) < 0.5] = 0
+        preds.append(pred.astype(np.int32))
+    return preds, int(code_book.shape[0]) + 1
+
+
+# ───────────────────────── the loop ─────────────────────────
+
+def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
+             seed: int = 0, capacity: int = 4096, quiet: bool = False):
+    from scripts.prepare_pseudo_label import segment_images, track_sequence
+    from segsplat_tpu.eval.metrics import confusion_matrix
+    from segsplat_tpu.pipeline.train import TrainRunConfig, train
+    from segsplat_tpu.train.trainer import OptimizationConfig
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    t0 = time.perf_counter()
+    g = build_objects(rng)
+    Rs, ts, fx, fy = orbit_cameras(frames, H, W)
+    rgbs, gts = render_sweep(g, Rs, ts, fx, fy, H, W)
+    write_colmap_scene(root, g, Rs, ts, fx, fy, rgbs)
+    t_render = time.perf_counter() - t0
+
+    # stage 2: pseudo-labels via the CLI's own segment+track functions
+    t0 = time.perf_counter()
+    seg_dir = os.path.join(root, "seg_raw")
+    mask_dir = os.path.join(root, "object_mask")
+    segment_images(os.path.join(root, "images"), seg_dir, n_segments=64,
+                   compactness=12.0, merge_thresh=0.15, min_pixels=40)
+    track_sequence(seg_dir, mask_dir, iou_threshold=0.4, memory_frames=8,
+                   min_pixels=40)
+    tracked = [np.asarray(Image.open(os.path.join(mask_dir, f)))
+               for f in sorted(os.listdir(mask_dir))]
+    t_labels = time.perf_counter() - t0
+
+    consistency, n_tracks = tracker_consistency(tracked, gts)
+
+    # stage 4: Unified-Lift training on the pseudo-labels
+    t0 = time.perf_counter()
+    opt = OptimizationConfig(
+        iterations=iterations, densify_from_iter=200,
+        densify_until_iter=max(iterations // 2, 201),
+        densification_interval=100, opacity_reset_interval=10 ** 9,
+        num_classes=256)
+    run = TrainRunConfig(
+        iterations=iterations, test_iterations=(), save_iterations=(),
+        checkpoint_iterations=(), log_every=max(iterations // 4, 1),
+        num_classes=256, raster_max_tiles_per_axis=6, raster_max_per_tile=512,
+        raster_tile_chunk=16)
+    state = train(root, os.path.join(root, "model"), opt=opt, run=run,
+                  capacity=capacity)
+    t_train = time.perf_counter() - t0
+
+    import jax as _jax
+    raster_kw = dict(max_tiles_per_axis=6, max_per_tile=512, tile_chunk=16,
+                     backend="xla" if _jax.default_backend() == "cpu"
+                     else "pallas")
+    preds, n_pred = predict_identity_maps(state, Rs, ts, fx, fy, H, W,
+                                          raster_kw)
+    miou, obj_ious, miou_1to1, bg_iou = match_miou(preds, gts, n_pred)
+
+    result = {
+        "tracker_consistency": round(consistency, 4),
+        "n_tracks": n_tracks,
+        "post_train_identity_miou_grouped": round(miou, 4),
+        "per_object_iou_grouped": [round(x, 4) for x in obj_ious],
+        "post_train_identity_miou_1to1": round(miou_1to1, 4),
+        "background_iou": round(bg_iou, 4),
+        "config": {"frames": frames, "hw": [H, W], "iterations": iterations,
+                   "n_objects": N_OBJECTS, "capacity": capacity},
+        "timings_s": {"render_sweep": round(t_render, 1),
+                      "pseudo_labels": round(t_labels, 1),
+                      "train": round(t_train, 1)},
+    }
+    if not quiet:
+        print(json.dumps(result))
+    return result
+
+
+def main(argv=None):
+    p = ArgumentParser()
+    p.add_argument("--out", default="/tmp/pseudo_loop")
+    p.add_argument("--frames", type=int, default=36)
+    p.add_argument("--size", type=int, default=128)
+    p.add_argument("--iterations", type=int, default=2000)
+    p.add_argument("--capacity", type=int, default=4096)
+    args = p.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+    run_loop(args.out, args.frames, args.size, args.size, args.iterations,
+             capacity=args.capacity)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,3 +37,45 @@ def test_text_query_mask_accepts_chw_layout():
     m2 = text_query_mask(np.transpose(f_hwc, (2, 0, 1)), "table",
                          channels_first=True)
     np.testing.assert_array_equal(m1, m2)
+
+
+def test_text_query_mask_with_real_clip_architecture():
+    """Grounding through the REAL stack: byte-level BPE tokenizer → a
+    torch-built CLIP text tower (tests/torch_oracles_nn.py) converted to
+    Flax → pairwise-LERF relevancy → mask. Regions painted with the tower's
+    OWN embedding for the prompt must be selected over regions painted with
+    its embeddings of the LERF negatives — meaningful grounding semantics,
+    not contrived feature vectors."""
+    import jax.numpy as jnp
+
+    from segsplat_tpu.models.clip_text import (ClipTextEncoder,
+                                               convert_torch_clip_text)
+    from segsplat_tpu.models.tokenizer import get_tokenizer
+    from segsplat_tpu.pipeline.query import LERF_NEGATIVES, text_query_mask
+    from tests.torch_oracles_nn import TorchClipText, seed_all, to_numpy_sd
+
+    cfg = dict(width=64, layers=2, heads=2, embed_dim=32,
+               vocab_size=49408, context_length=77)
+    seed_all(3)
+    tm = TorchClipText(**cfg)
+    params = convert_torch_clip_text(to_numpy_sd(tm), heads=2)
+    params.pop("__logit_scale__")
+    enc = ClipTextEncoder(**cfg)
+    tok = get_tokenizer()
+
+    class Tower:
+        def encode_prompts(self, prompts):
+            emb = np.asarray(enc.apply(
+                {"params": params},
+                jnp.asarray(tok(list(prompts)), jnp.int32)))
+            return emb / np.linalg.norm(emb, axis=1, keepdims=True)
+
+    tower = Tower()
+    emb = tower.encode_prompts(["chair", *LERF_NEGATIVES])
+    C, H, W = emb.shape[1], 12, 16
+    fmap = np.tile(emb[1], (H, W, 1)).astype(np.float32)   # negative bg
+    fmap[:6] = emb[0]                                      # prompt region
+    fmap[6:, 8:] = emb[2]                                  # another negative
+    mask = text_query_mask(fmap, "chair", text_model=tower, threshold=0.5)
+    assert mask[:6].all()
+    assert not mask[6:].any()
