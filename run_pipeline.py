@@ -35,6 +35,10 @@ def main(argv=None):
     p.add_argument("--density_min_neighbors", type=int, default=4)
     p.add_argument("--work_dir", default="")
     p.add_argument("--max_views", type=int, default=216)
+    p.add_argument("--view_chunk", type=int, default=8,
+                   help="views per compiled lift step (bounds the single "
+                        "host->device feature transfer: chunk*190MB fp16 at "
+                        "officescene scale)")
     p.add_argument("--skip_render", action="store_true")
     p.add_argument("--parity_dir", default="",
                    help="directory of reference-produced artifacts "
@@ -77,7 +81,7 @@ def main(argv=None):
     _t0 = _time.perf_counter()
     lift = aggregate_voxel_features(
         grid_ply, args.lseg_dir, args.camera_params, work,
-        LiftConfig(max_views=args.max_views))
+        LiftConfig(max_views=args.max_views, view_chunk=args.view_chunk))
     # use the path the lift stage reports — a lexicographic glob over the
     # work_dir can pick up a stale artifact from a previous run with
     # different grid parameters (the filename embeds the voxel count)

@@ -76,7 +76,21 @@ def room_points(rng, n):
         k = per if b < 29 else remaining - per * 29
         pts.append(blob_c[b] + rng.normal(0, 0.22, (k, 3)) *
                    np.array([1.0, 0.6, 1.0]))
-    return np.concatenate(pts)[:n].astype(np.float32)
+    p = np.concatenate(pts)
+    # carve the camera corridor: the 216-view orbit lives at xz-radius 1.1,
+    # y≈1.3 — clutter there would make every ray first-hit at its origin
+    # (the round-3 760-voxel lift bug). Walls stay; clutter inside the
+    # cylinder is pushed radially out to the 1.45 m shell.
+    r_xz = np.sqrt(p[:, 0] ** 2 + p[:, 2] ** 2)
+    inside = (r_xz < 1.45) & (p[:, 1] > 0.3) & (p[:, 1] < 2.4)
+    scale = np.where(inside, (1.45 + 0.2 * rng.random(len(p)))
+                     / np.maximum(r_xz, 0.2), 1.0)
+    p[:, 0] *= scale
+    p[:, 2] *= scale
+    p[:, 0] = np.clip(p[:, 0], -L / 2, L / 2)
+    p[:, 2] = np.clip(p[:, 2], -D / 2, D / 2)
+    # top up to n points (clip may merge some onto walls — fine)
+    return p[:n].astype(np.float32)
 
 
 def fabricate(work: str, rng):
@@ -110,6 +124,12 @@ def fabricate(work: str, rng):
     obj_dc = rng.normal(0, 0.1, (n, 1, 16)).astype(np.float32)
     ply = os.path.join(pc_dir, "point_cloud.ply")
     save_gaussian_ply(ply, xyz, f_dc, f_rest, opacity, scaling, rots, obj_dc)
+    # trained model dirs carry cfg_args (arguments/__init__.py contract)
+    with open(os.path.join(model, "cfg_args"), "w") as f:
+        f.write("Namespace(sh_degree=3, source_path=%r, model_path=%r, "
+                "images='images', object_path='object_mask', resolution=-1, "
+                "white_background=False, train_split=False, eval=False)"
+                % (src, model))
 
     # 216 orbit cameras inside the room, at RENDER resolution for the scene
     # and NATIVE intrinsics for the lift camera json (downsample 0.5 inside)
@@ -125,7 +145,10 @@ def fabricate(work: str, rng):
         ang = 2 * np.pi * i / N_VIEWS
         pos = np.array([1.1 * np.sin(ang), 1.3 + 0.15 * np.sin(3 * ang),
                         -1.1 * np.cos(ang)])
-        fwd = np.array([np.sin(ang), -0.1, -np.cos(ang)])
+        # look INWARD across the carved corridor at the far clutter shell /
+        # opposite wall (1.5–2.9 m away) — outward-looking cameras see only a
+        # small near-wall patch
+        fwd = np.array([0.0, 1.15, 0.0]) - pos
         fwd /= np.linalg.norm(fwd)
         right = np.cross([0.0, 1.0, 0.0], fwd)
         right /= np.linalg.norm(right)
@@ -182,6 +205,7 @@ def main(argv=None):
     argv2 = ["-s", src, "-m", model, "--iteration", "30000",
              "--lseg_dir", lseg, "--camera_params", cam_params,
              "--prompt", *PROMPTS, "--cell_size", "0.04",
+             "--opacity_threshold", "0.2", "--view_chunk", "4",
              "--max_views", str(args.lift_views),
              "--work_dir", os.path.join(args.work, "semantic_pipeline")]
     if args.skip_render:

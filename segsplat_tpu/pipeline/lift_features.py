@@ -61,6 +61,27 @@ class LiftConfig:
     #                                    overflow is surfaced as a [WARN]
 
 
+_MAX_TRANSFER_BYTES = 128 * 1024 ** 2  # single host→device puts >~256 MiB
+#   stall the axon tunnel relay permanently (frozen at 254 MiB written,
+#   measured round 3); 128 MiB keeps 2× margin and costs only per-POST
+#   overhead at the tunnel's ~13 MB/s.
+
+
+def _device_put_bounded(arr: np.ndarray):
+    """device_put ``arr`` in leading-axis slices of ≤_MAX_TRANSFER_BYTES,
+    reassembled on device (jnp.concatenate). Returns a device array."""
+    import jax
+    import jax.numpy as jnp
+
+    if arr.nbytes <= _MAX_TRANSFER_BYTES:
+        return jax.device_put(arr)
+    per_row = max(arr.nbytes // max(arr.shape[0], 1), 1)
+    rows = max(int(_MAX_TRANSFER_BYTES // per_row), 1)
+    parts = [jax.device_put(np.ascontiguousarray(arr[i:i + rows]))
+             for i in range(0, arr.shape[0], rows)]
+    return jnp.concatenate(parts, axis=0)
+
+
 def load_camera_json(path: str) -> Tuple[Dict[str, dict], Dict[str, list]]:
     """Parse the stage's camera-params JSON (COLMAP-derived): returns
     (name→{R, tvec, camera_id}, camera_id→[fx,fy,cx,cy]). Accepts both the
@@ -254,17 +275,24 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
     B = cfg.view_chunk
     for start in range(0, len(files), B):
         batch = files[start:start + B]
-        feats = np.stack([load_feature_map(f) for f in batch]).astype(np.float32)
+        # keep the on-disk fp16 (upcasting here would DOUBLE host→device
+        # bytes — the device-side `one` upcasts before the resize), and ship
+        # each view as its OWN bounded transfer: a single host→device
+        # transfer larger than ~256 MiB stalls the axon tunnel relay
+        # PERMANENTLY (measured round 3: a 796 MB 4-view fp16 chunk froze at
+        # exactly 254 MiB written with zero further socket traffic), so the
+        # chunked batch is assembled on device from per-view puts.
+        views = [_device_put_bounded(load_feature_map(f)) for f in batch]
         nb = len(batch)
         if nb < B:  # pad the tail chunk with zero-intrinsics views (no rays hit)
-            feats = np.pad(feats, ((0, B - nb), (0, 0), (0, 0), (0, 0)))
+            views += [jnp.zeros_like(views[0])] * (B - nb)
+        feats = jnp.stack(views)
         cc = np.pad(c2ws[start:start + nb], ((0, B - nb), (0, 0), (0, 0)))
         ii = np.pad(intr[start:start + nb], ((0, B - nb), (0, 0)))
         if nb < B:
             ii[nb:, 0] = ii[nb:, 1] = 1.0
             ii[nb:, 2] = -1e9  # rays point nowhere → zero hits
-        sums, counts, chunk_of = lift_chunk(jnp.asarray(feats),
-                                            jnp.asarray(cc),
+        sums, counts, chunk_of = lift_chunk(feats, jnp.asarray(cc),
                                             jnp.asarray(ii), sums, counts)
         # keep the overflow max ON DEVICE — an int() here would force a host
         # sync (one tunnel RTT) per chunk and serialize device compute with

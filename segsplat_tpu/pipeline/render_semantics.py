@@ -61,12 +61,19 @@ def render_semantic_views(table, cameras: Sequence, logits: np.ndarray,
                           out_dir: str, prompts: Optional[Sequence[str]] = None,
                           bg_value: float = 0.0, save_logits: bool = True,
                           backend: str = "pallas",
-                          max_tiles_per_axis: int = 8,
-                          max_per_tile: int = 256) -> List[np.ndarray]:
+                          max_tiles_per_axis: int = 6,
+                          max_per_tile: int = 256,
+                          pair_cap: Optional[int] = None) -> List[np.ndarray]:
     """Render every camera; write the reference's per-view artifact set.
 
     table: GaussianTable; cameras: list of core.types.Camera;
     logits: [N, P] per-Gaussian semantic logits (active rows aligned).
+
+    pair_cap: None picks min(N·m², 3M) for the pallas backend — the sorted
+    payload gather is the raster's HBM cost (3 × cap × 512 B transient: a
+    200k-Gaussian scene at m=8 uncapped compiles to 18.3 GB and OOMs a 16 GB
+    v5e; measured in scripts/officescene_scale_run.py). Truncation is NEVER
+    silent: frames where num_pairs exceeds the cap (or tiles exceed K) warn.
     """
     import jax
     import jax.numpy as jnp
@@ -77,12 +84,24 @@ def render_semantic_views(table, cameras: Sequence, logits: np.ndarray,
     n_prompts = logits.shape[1]
     pal = bit_shuffle_palette(max(n_prompts, 1))
     logits32 = jnp.asarray(logits, jnp.float32)
+    if pair_cap is None and backend == "pallas":
+        pair_cap = min(int(table.xyz.shape[0]) * max_tiles_per_axis ** 2,
+                       3_000_000)
 
     label_maps = []
     for i, cam in enumerate(cameras):
-        sem = render_semantics(table, cam, logits32, bg_value=bg_value,
-                               max_tiles_per_axis=max_tiles_per_axis,
-                               max_per_tile=max_per_tile, backend=backend)
+        sem, aux = render_semantics(table, cam, logits32, bg_value=bg_value,
+                                    max_tiles_per_axis=max_tiles_per_axis,
+                                    max_per_tile=max_per_tile, backend=backend,
+                                    pair_cap=pair_cap, return_aux=True)
+        npairs = int(aux["num_pairs"]) if "num_pairs" in aux else 0
+        if pair_cap and npairs > pair_cap:
+            print(f"[WARN] view {i}: {npairs} pairs > pair_cap {pair_cap} — "
+                  f"deepest pairs dropped; raise pair_cap")
+        ovf = int(aux["tile_overflow"])
+        if ovf:
+            print(f"[WARN] view {i}: {ovf} pairs beyond per-tile K="
+                  f"{max_per_tile} — raise max_per_tile")
         sem_np = np.asarray(sem)[:n_prompts]                      # [P, H, W]
         labels = sem_np.argmax(axis=0).astype(np.int32)
         label_maps.append(labels)

@@ -102,9 +102,11 @@ def render_semantics(table: GaussianTable, camera: Camera, logits: jax.Array,
                      bg_value: float = 0.0,
                      max_tiles_per_axis: int = 8, max_per_tile: int = 512,
                      tile_chunk: int = 64, backend: str = "xla",
-                     pair_cap: Optional[int] = None) -> jax.Array:
+                     pair_cap: Optional[int] = None, return_aux: bool = False):
     """Semantics-only fast path: the gsplat call in the reference's FPS-metric loop
-    (render_semantics_logits.py:92-105). Returns [32, H, W]."""
+    (render_semantics_logits.py:92-105). Returns [32, H, W] (with
+    ``return_aux``: a second dict carrying num_pairs / tile_overflow so batch
+    renderers can surface truncation)."""
     viewmat = camera.world_view_transform()
     K = camera.intrinsics()
     payload = pad_logits_to_channels(logits, NUM_SEMANTIC_CHANNELS)
@@ -116,4 +118,10 @@ def render_semantics(table: GaussianTable, camera: Camera, logits: jax.Array,
                     max_tiles_per_axis=max_tiles_per_axis,
                     max_per_tile=max_per_tile, tile_chunk=tile_chunk,
                     backend=backend, pair_cap=pair_cap)
-    return jnp.transpose(out["image"], (2, 0, 1))
+    sem = jnp.transpose(out["image"], (2, 0, 1))
+    if return_aux:
+        aux = {"tile_overflow": out["tile_overflow"]}
+        if "num_pairs" in out:
+            aux["num_pairs"] = out["num_pairs"]
+        return sem, aux
+    return sem

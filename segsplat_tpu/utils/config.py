@@ -28,13 +28,20 @@ class ParamGroup:
 
     def __init__(self, parser: ArgumentParser, name: str, fill_none: bool = False):
         group = parser.add_argument_group(name)
+        if not hasattr(parser, "_sentinel_defaults"):
+            parser._sentinel_defaults = {}
         for key, value in vars(self).items():
             shorthand = False
             if key.startswith("_"):
                 shorthand = True
                 key = key[1:]
             t = type(value)
-            value = value if not fill_none else None
+            if fill_none:
+                # real default recorded so get_combined_args can fall back to
+                # it when the model dir has no cfg_args (pipeline-only model
+                # dirs); the parser default stays None as the sentinel
+                parser._sentinel_defaults[key] = value
+                value = None
             names = [f"--{key}"] + ([f"-{key[0:1]}"] if shorthand else [])
             if t is bool:
                 group.add_argument(*names, default=value, action="store_true")
@@ -152,6 +159,10 @@ def get_combined_args(parser: ArgumentParser, argv=None) -> Namespace:
     for k, v in vars(cmdline).items():
         if v is not None:
             merged[k] = v
+    # sentinel params resolved neither by CLI nor cfg_args fall back to their
+    # real defaults instead of vanishing from the namespace
+    for k, v in getattr(parser, "_sentinel_defaults", {}).items():
+        merged.setdefault(k, v)
     return Namespace(**merged)
 
 
