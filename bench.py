@@ -52,7 +52,34 @@ def _enable_compile_cache():
         print(f"[WARN] compile cache unavailable: {e}", file=sys.stderr)
 
 
+def _probe_backend(timeout_s: int = 90) -> None:
+    """Fail fast if the TPU backend is unreachable. A wedged tunnel relay
+    makes the first jax.devices() sleep FOREVER in the claim/rebind loop
+    (measured round 3: host-side relay died and never came back), which
+    would hang the whole bench instead of reporting. Probe in a subprocess
+    with a hard timeout and exit nonzero with a diagnostic JSON line."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True)
+        ok = r.returncode == 0
+        detail = (r.stdout + r.stderr).strip()[-200:]
+    except subprocess.TimeoutExpired:
+        ok, detail = False, f"jax.devices() unresponsive after {timeout_s}s"
+    if not ok:
+        print(json.dumps({
+            "metric": "semantic_render_fps", "value": 0.0, "unit": "fps",
+            "vs_baseline": 0.0,
+            "extra": {"error": f"TPU backend unreachable: {detail}"}}))
+        sys.exit(1)
+
+
 def main() -> None:
+    _probe_backend()
+
     import jax
     import jax.numpy as jnp
 

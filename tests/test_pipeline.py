@@ -177,6 +177,43 @@ def test_cfg_args_no_code_execution(tmp_path):
     assert getattr(merged, "source_path", None) in (None, "")
 
 
+def test_sentinel_defaults_without_cfg_args(tmp_path):
+    """A model dir with NO cfg_args (pipeline-only runs) must resolve
+    sentinel params to their real defaults instead of dropping them from
+    the merged namespace (round-3 regression: render_semantics_logits
+    crashed on args.resolution for fabricated model dirs)."""
+    from argparse import ArgumentParser
+
+    from segsplat_tpu.utils.config import ModelParams, get_combined_args
+    parser = ArgumentParser()
+    ModelParams(parser, sentinel=True)
+    merged = get_combined_args(parser, ["--model_path", str(tmp_path)])
+    assert merged.model_path == str(tmp_path)      # CLI wins
+    assert merged.resolution == -1                 # real default restored
+    assert merged.images == "images"
+    assert merged.sh_degree == 3
+    assert merged.white_background is False
+
+
+def test_device_put_bounded_splits(monkeypatch):
+    """Transfers above the relay-safe byte cap must be sliced along the
+    leading axis and reassemble bit-exactly on device."""
+    from segsplat_tpu.pipeline import lift_features as lf
+
+    monkeypatch.setattr(lf, "_MAX_TRANSFER_BYTES", 1000)
+    arr = np.arange(7 * 60, dtype=np.float32).reshape(7, 60)  # 240 B/row
+    out = np.asarray(lf._device_put_bounded(arr))
+    np.testing.assert_array_equal(out, arr)
+    # non-contiguous input and fp16 survive the slicing
+    arr16 = np.asarray(np.arange(6 * 80, dtype=np.float16).reshape(6, 80).T)
+    out16 = np.asarray(lf._device_put_bounded(np.ascontiguousarray(arr16.T)))
+    np.testing.assert_array_equal(out16, arr16.T)
+    # under-cap arrays take the single-put path
+    small = np.ones((2, 3), np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(lf._device_put_bounded(small)), small)
+
+
 def test_palette_matches_reference_construction():
     from segsplat_tpu.utils.palette import bit_shuffle_palette
     pal = bit_shuffle_palette(8)
