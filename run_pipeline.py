@@ -40,6 +40,10 @@ def main(argv=None):
                         "host->device feature transfer: chunk*190MB fp16 at "
                         "officescene scale)")
     p.add_argument("--skip_render", action="store_true")
+    p.add_argument("--render_backend", default="pallas",
+                   choices=["pallas", "xla"],
+                   help="blend kernel for stage 5 (xla for cpu-backend runs; "
+                        "pallas needs a TPU)")
     p.add_argument("--parity_dir", default="",
                    help="directory of reference-produced artifacts "
                         "(ALL_nonzero_voxel_features*.pt, "
@@ -108,7 +112,8 @@ def main(argv=None):
         _t0 = _time.perf_counter()
         rsl.main(["--model_path", args.model_path, "--source_path",
                   args.source_path, "--iteration", str(it),
-                  "--semantics", sem, "--skip_test"])
+                  "--semantics", sem, "--skip_test",
+                  "--backend", args.render_backend])
         stage_t["render"] = _time.perf_counter() - _t0
 
     if args.parity_dir:

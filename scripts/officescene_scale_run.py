@@ -167,7 +167,7 @@ def fabricate(work: str, rng):
                             cams)
     write_extrinsics_binary(os.path.join(src, "sparse", "0", "images.bin"),
                             images)
-    sel = rng.choice(n, 30_000, replace=False)
+    sel = rng.choice(n, min(30_000, n), replace=False)
     write_points3D_binary(os.path.join(src, "sparse", "0", "points3D.bin"),
                           xyz[sel], np.full((len(sel), 3), 127, np.uint8))
     cam_params = os.path.join(work, "camera_params.json")
@@ -188,12 +188,31 @@ def fabricate(work: str, rng):
 
 
 def main(argv=None):
+    global N_GAUSS, N_VIEWS, REND_W, REND_H, FEAT_H, FEAT_W, C, FX_NATIVE
+    global NATIVE_W, NATIVE_H
     p = ArgumentParser()
     p.add_argument("--work", default="/tmp/officescene_scale")
     p.add_argument("--lift_views", type=int, default=16)
     p.add_argument("--render_views", type=int, default=N_VIEWS)
     p.add_argument("--skip_render", action="store_true")
+    p.add_argument("--smoke", action="store_true",
+                   help="CPU-sized dry run of the SAME 5-stage path (~1/10 "
+                        "dims, forced cpu backend) — validates the harness "
+                        "and the pipeline plumbing when the TPU tunnel is "
+                        "unavailable; numbers are NOT scale numbers")
     args = p.parse_args(argv)
+
+    if args.smoke:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        N_GAUSS, N_VIEWS = 20_000, 12
+        NATIVE_W, NATIVE_H = 438, 292
+        REND_W, REND_H = 219, 146
+        FEAT_H, FEAT_W, C = 90, 135, 64
+        FX_NATIVE = 350.0
+        args.lift_views = min(args.lift_views, 4)
+        if args.work == "/tmp/officescene_scale":
+            args.work = "/tmp/officescene_smoke"
 
     os.makedirs(args.work, exist_ok=True)
     rng = np.random.default_rng(0)
@@ -208,6 +227,8 @@ def main(argv=None):
              "--opacity_threshold", "0.2", "--view_chunk", "4",
              "--max_views", str(args.lift_views),
              "--work_dir", os.path.join(args.work, "semantic_pipeline")]
+    if args.smoke:
+        argv2 += ["--render_backend", "xla"]
     if args.skip_render:
         argv2.append("--skip_render")
     t0 = time.perf_counter()
