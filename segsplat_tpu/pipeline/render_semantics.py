@@ -63,7 +63,8 @@ def render_semantic_views(table, cameras: Sequence, logits: np.ndarray,
                           backend: str = "pallas",
                           max_tiles_per_axis: int = 6,
                           max_per_tile: int = 256,
-                          pair_cap: Optional[int] = None) -> List[np.ndarray]:
+                          pair_cap: Optional[int] = None,
+                          view_batch: int = 8) -> List[np.ndarray]:
     """Render every camera; write the reference's per-view artifact set.
 
     table: GaussianTable; cameras: list of core.types.Camera;
@@ -74,11 +75,13 @@ def render_semantic_views(table, cameras: Sequence, logits: np.ndarray,
     200k-Gaussian scene at m=8 uncapped compiles to 18.3 GB and OOMs a 16 GB
     v5e; measured in scripts/officescene_scale_run.py). Truncation is NEVER
     silent: frames where num_pairs exceeds the cap (or tiles exceed K) warn.
+
+    view_batch: cameras per jitted dispatch (render_semantics_many lax.scan —
+    one compile + one host sync per batch instead of per view).
     """
-    import jax
     import jax.numpy as jnp
 
-    from segsplat_tpu.render import render_semantics
+    from segsplat_tpu.render import render_semantics_many
 
     mkdir_p(out_dir)
     n_prompts = logits.shape[1]
@@ -89,19 +92,21 @@ def render_semantic_views(table, cameras: Sequence, logits: np.ndarray,
                        3_000_000)
 
     label_maps = []
-    for i, cam in enumerate(cameras):
-        sem, aux = render_semantics(table, cam, logits32, bg_value=bg_value,
-                                    max_tiles_per_axis=max_tiles_per_axis,
-                                    max_per_tile=max_per_tile, backend=backend,
-                                    pair_cap=pair_cap, return_aux=True)
-        npairs = int(aux["num_pairs"]) if "num_pairs" in aux else 0
+    for i, sem, aux in render_semantics_many(
+            table, cameras, logits32, bg_value=bg_value,
+            max_tiles_per_axis=max_tiles_per_axis,
+            max_per_tile=max_per_tile, backend=backend,
+            pair_cap=pair_cap, view_batch=view_batch):
+        npairs = aux.get("num_pairs", 0)
         if pair_cap and npairs > pair_cap:
             print(f"[WARN] view {i}: {npairs} pairs > pair_cap {pair_cap} — "
                   f"deepest pairs dropped; raise pair_cap")
-        ovf = int(aux["tile_overflow"])
+        ovf = aux["tile_overflow"]
         if ovf:
             print(f"[WARN] view {i}: {ovf} pairs beyond per-tile K="
                   f"{max_per_tile} — raise max_per_tile")
+        # per-view fetch (~65 MB at 876×584) keeps each device→host transfer
+        # under the tunnel-safe bound; sem is a device slice of the batch
         sem_np = np.asarray(sem)[:n_prompts]                      # [P, H, W]
         labels = sem_np.argmax(axis=0).astype(np.int32)
         label_maps.append(labels)

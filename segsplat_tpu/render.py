@@ -125,3 +125,66 @@ def render_semantics(table: GaussianTable, camera: Camera, logits: jax.Array,
             aux["num_pairs"] = out["num_pairs"]
         return sem, aux
     return sem
+
+
+def render_semantics_many(table: GaussianTable, cameras, logits: jax.Array,
+                          bg_value: float = 0.0,
+                          max_tiles_per_axis: int = 8, max_per_tile: int = 512,
+                          tile_chunk: int = 64, backend: str = "xla",
+                          pair_cap: Optional[int] = None,
+                          view_batch: int = 8):
+    """Batched view sweep: ``view_batch`` cameras per jitted dispatch via one
+    lax.scan — ONE compile for the whole sweep and no per-view dispatch+sync
+    round-trip (the reference loops gsplat one view at a time,
+    render_semantics_logits.py:141-143; a python-loop sweep here costs a host
+    RTT per view). All cameras must share width/height.
+
+    Yields ``(view_index, sem [32,H,W] device array, aux)`` per camera, where
+    aux carries python-int ``tile_overflow`` (and ``num_pairs`` when a
+    pair_cap is set). The yielded sem stays on device so the consumer
+    controls fetch granularity (a [B,32,H,W] bulk fetch can exceed the
+    remote-tunnel transfer bound; per-view slices are ~65 MB at 876×584)."""
+    import numpy as np
+
+    W, H = cameras[0].width, cameras[0].height
+    if not all(c.width == W and c.height == H for c in cameras):
+        raise ValueError("render_semantics_many requires uniform resolution; "
+                         "group cameras by (width, height) first")
+    payload = pad_logits_to_channels(logits, NUM_SEMANTIC_CHANNELS)
+    bg = jnp.full((NUM_SEMANTIC_CHANNELS,), bg_value, payload.dtype)
+    opac = table.get_opacity()[:, 0] * table.active.astype(payload.dtype)
+
+    # table arrays are ARGUMENTS, not jit-closure constants — big closure
+    # constants get shipped to the remote compiler (CLAUDE.md / HTTP 413)
+    @jax.jit
+    def run(xyz, scaling, rotation, op, pay, vms, Ks):
+        def one(c, vk):
+            vm, K = vk
+            out = rasterize(xyz, scaling, rotation, op, pay, vm,
+                            K[0, 0], K[1, 1], K[0, 2], K[1, 2], W, H, bg=bg,
+                            max_tiles_per_axis=max_tiles_per_axis,
+                            max_per_tile=max_per_tile, tile_chunk=tile_chunk,
+                            backend=backend, pair_cap=pair_cap)
+            return c, (jnp.transpose(out["image"], (2, 0, 1)),
+                       out["tile_overflow"],
+                       out.get("num_pairs", jnp.int32(-1)))
+        _, outs = jax.lax.scan(one, jnp.int32(0), (vms, Ks))
+        return outs
+
+    xyz, sc, rot = table.xyz, table.get_scaling(), table.get_rotation()
+    B = max(1, view_batch)
+    for start in range(0, len(cameras), B):
+        chunk = cameras[start:start + B]
+        vms = jnp.stack([c.world_view_transform() for c in chunk])
+        Ks = jnp.stack([c.intrinsics() for c in chunk])
+        pad = B - len(chunk)
+        if pad:  # repeat the last camera so every dispatch compiles once
+            vms = jnp.concatenate([vms, jnp.repeat(vms[-1:], pad, 0)])
+            Ks = jnp.concatenate([Ks, jnp.repeat(Ks[-1:], pad, 0)])
+        sems, ovf, npairs = run(xyz, sc, rot, opac, payload, vms, Ks)
+        ovf_h, npairs_h = np.asarray(ovf), np.asarray(npairs)   # tiny fetch
+        for j in range(len(chunk)):
+            aux = {"tile_overflow": int(ovf_h[j])}
+            if npairs_h[j] >= 0:
+                aux["num_pairs"] = int(npairs_h[j])
+            yield start + j, sems[j], aux

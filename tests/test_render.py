@@ -56,6 +56,51 @@ def test_render_with_semantics(rng, cam):
     assert np.allclose(np.asarray(out["semantic_logits"]), np.asarray(sem), atol=1e-4)
 
 
+def test_render_semantics_many_matches_per_view(rng):
+    """The batched lax.scan sweep must reproduce the per-view path bit-close,
+    including the padded tail batch and per-view aux ints."""
+    from segsplat_tpu.render import render_semantics_many
+
+    t = build_table(rng)
+    logits = jnp.asarray(rng.normal(size=(64, 5)).astype(np.float32))
+    cams = []
+    for k in range(5):                     # 5 views, view_batch=2 → padded tail
+        a = 0.1 * k
+        R = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                      [-np.sin(a), 0, np.cos(a)]], np.float32)
+        cams.append(Camera(R=jnp.asarray(R), T=jnp.zeros(3),
+                           fov_x=jnp.array(1.2), fov_y=jnp.array(1.2),
+                           width=32, height=32))
+    got = list(render_semantics_many(t, cams, logits, view_batch=2,
+                                     pair_cap=2000))
+    assert [i for i, _, _ in got] == [0, 1, 2, 3, 4]
+    for i, sem, aux in got:
+        ref, ref_aux = render_semantics(t, cams[i], logits, pair_cap=2000,
+                                        return_aux=True)
+        np.testing.assert_allclose(np.asarray(sem), np.asarray(ref),
+                                   atol=1e-5)
+        assert isinstance(aux["tile_overflow"], int)
+        assert aux["tile_overflow"] == int(ref_aux["tile_overflow"])
+        # num_pairs is a pallas-backend aux; presence must MATCH the
+        # per-view path (absent on the xla blend used here)
+        assert ("num_pairs" in aux) == ("num_pairs" in ref_aux)
+        if "num_pairs" in aux:
+            assert aux["num_pairs"] == int(ref_aux["num_pairs"])
+
+
+def test_render_semantics_many_rejects_mixed_resolution(rng):
+    from segsplat_tpu.render import render_semantics_many
+
+    t = build_table(rng)
+    logits = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    cams = [Camera(R=jnp.eye(3), T=jnp.zeros(3), fov_x=jnp.array(1.2),
+                   fov_y=jnp.array(1.2), width=32, height=32),
+            Camera(R=jnp.eye(3), T=jnp.zeros(3), fov_x=jnp.array(1.2),
+                   fov_y=jnp.array(1.2), width=16, height=16)]
+    with pytest.raises(ValueError, match="uniform resolution"):
+        list(render_semantics_many(t, cams, logits))
+
+
 def test_inactive_rows_do_not_render(rng, cam):
     t = build_table(rng, n=40)
     out_40 = render(t, cam, jnp.zeros(3))
