@@ -42,10 +42,10 @@ def main(argv=None):
 
     scene = Scene(args.source_path, args.model_path, images=args.images,
                   shuffle=False, load_iteration=args.iteration)
-    cls_path = args.classifier or os.path.join(
-        args.model_path, "point_cloud", f"iteration_{scene.loaded_iter}",
-        "classifier.npz")
-    code_book = np.load(cls_path)["code_book"]
+    from segsplat_tpu.io.artifacts import find_codebook, load_codebook
+    cls_path = args.classifier or find_codebook(args.model_path,
+                                                scene.loaded_iter)
+    code_book = load_codebook(cls_path)
 
     mask = mask3d_from_classes(scene.gaussians, code_book, args.select_obj_id)
     print(f"[INFO] inpainting over {int(mask.sum())} removed gaussians")

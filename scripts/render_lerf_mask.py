@@ -63,10 +63,10 @@ def main(argv=None):
     scene = Scene(args.source_path, args.model_path, images=args.images,
                   eval_split=args.eval, shuffle=False,
                   load_iteration=args.iteration)
-    cls_path = args.classifier or os.path.join(
-        args.model_path, "point_cloud", f"iteration_{scene.loaded_iter}",
-        "classifier.npz")
-    code_book = jnp.asarray(np.load(cls_path)["code_book"])     # [256,16]
+    from segsplat_tpu.io.artifacts import find_codebook, load_codebook
+    cls_path = args.classifier or find_codebook(args.model_path,
+                                                scene.loaded_iter)
+    code_book = jnp.asarray(load_codebook(cls_path))            # [256,16]
 
     cams = scene.get_test_cameras() or scene.get_train_cameras()
     scale = resolution_scale_for(cams[0].width, cams[0].height, args.resolution)

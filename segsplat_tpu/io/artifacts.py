@@ -102,6 +102,36 @@ def load_feature_map(path: str) -> np.ndarray:
     return np.load(path)
 
 
+def load_codebook(path: str) -> np.ndarray:
+    """The [256,16] identity codebook, from either this framework's
+    ``classifier.npz`` (key ``code_book``) or the reference's torch-saved
+    ``classifier.pth`` — a raw [256,16] tensor (train_unified_lift.py:295-297,
+    437) or the 1×1-Conv2d weight layout [256,16,1,1] it was reshaped from."""
+    if path.endswith(".npz"):
+        return np.load(path)["code_book"].astype(np.float32)
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):           # state_dict-style {'weight': ...}
+        obj = next(iter(obj.values()))
+    arr = np.asarray(obj.detach().float().numpy() if hasattr(obj, "detach")
+                     else obj, np.float32)
+    if arr.ndim == 4:                   # Conv2d weight [K,16,1,1]
+        arr = arr[:, :, 0, 0]
+    if arr.ndim != 2:
+        raise ValueError(f"{path}: expected a [num_classes,16] codebook, "
+                         f"got shape {arr.shape}")
+    return arr
+
+
+def find_codebook(model_path: str, iteration: int) -> str:
+    """Path of the codebook next to ``point_cloud/iteration_N``: prefers our
+    ``classifier.npz``, falls back to the reference's ``classifier.pth`` so
+    reference-trained model dirs work unmodified."""
+    base = os.path.join(model_path, "point_cloud", f"iteration_{iteration}")
+    npz = os.path.join(base, "classifier.npz")
+    pth = os.path.join(base, "classifier.pth")
+    return npz if os.path.exists(npz) or not os.path.exists(pth) else pth
+
+
 def save_feature_map(path: str, feats: np.ndarray) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.save(path, np.asarray(feats, np.float16))

@@ -145,3 +145,41 @@ def test_nerfpp_norm():
                                   image_path="", image_name=str(i), width=10, height=10))
     norm = ds.get_nerfpp_norm(cams)
     assert norm["radius"] > 0
+
+
+def test_load_codebook_all_formats(tmp_path, rng):
+    """Drop-in interop: our classifier.npz AND the reference's torch-saved
+    classifier.pth (raw [256,16] tensor, train_unified_lift.py:295-297,437;
+    also the Conv2d [256,16,1,1] weight it was reshaped from)."""
+    import torch
+
+    cb = rng.normal(size=(256, 16)).astype(np.float32)
+    p_npz = str(tmp_path / "classifier.npz")
+    np.savez(p_npz, code_book=cb)
+    np.testing.assert_array_equal(artifacts.load_codebook(p_npz), cb)
+
+    p_pth = str(tmp_path / "classifier.pth")
+    torch.save(torch.from_numpy(cb), p_pth)
+    np.testing.assert_allclose(artifacts.load_codebook(p_pth), cb, atol=0)
+
+    p_conv = str(tmp_path / "classifier_conv.pth")
+    torch.save(torch.from_numpy(cb[:, :, None, None]), p_conv)
+    np.testing.assert_allclose(artifacts.load_codebook(p_conv), cb, atol=0)
+
+    p_sd = str(tmp_path / "classifier_sd.pth")
+    torch.save({"weight": torch.from_numpy(cb[:, :, None, None])}, p_sd)
+    np.testing.assert_allclose(artifacts.load_codebook(p_sd), cb, atol=0)
+
+
+def test_find_codebook_prefers_npz_falls_back_pth(tmp_path):
+    import torch
+
+    base = tmp_path / "model" / "point_cloud" / "iteration_30000"
+    base.mkdir(parents=True)
+    model = str(tmp_path / "model")
+    # neither exists → npz path (caller gets the clean FileNotFoundError)
+    assert artifacts.find_codebook(model, 30000).endswith("classifier.npz")
+    torch.save(torch.zeros(256, 16), str(base / "classifier.pth"))
+    assert artifacts.find_codebook(model, 30000).endswith("classifier.pth")
+    np.savez(str(base / "classifier.npz"), code_book=np.zeros((256, 16)))
+    assert artifacts.find_codebook(model, 30000).endswith("classifier.npz")
