@@ -83,8 +83,14 @@ def _load_frame_ids(path: str) -> np.ndarray:
 
 
 def track_sequence(mask_dir: str, out_dir: str, iou_threshold: float,
-                   memory_frames: int, min_pixels: int) -> int:
-    """DEVA-lite: associate per-frame instances across the sequence."""
+                   memory_frames: int, min_pixels: int,
+                   consolidate_images: str | None = None,
+                   adjacency_frac: float = 0.5,
+                   color_thresh: float = 0.10) -> int:
+    """DEVA-lite: associate per-frame instances across the sequence; with
+    ``consolidate_images`` set, follow with the in-clip consensus merge
+    (pipeline/tracking.consolidate_tracks) that fuses region-level tracks
+    into object-level ids using whole-sweep adjacency + color evidence."""
     from segsplat_tpu.pipeline.tracking import (TrackerConfig,
                                                 associate_sequence)
 
@@ -97,6 +103,20 @@ def track_sequence(mask_dir: str, out_dir: str, iou_threshold: float,
     cfg = TrackerConfig(iou_threshold=iou_threshold,
                         memory_frames=memory_frames, min_pixels=min_pixels)
     tracked = associate_sequence(frames, cfg)
+    if consolidate_images is not None:
+        from segsplat_tpu.pipeline.tracking import (ConsolidateConfig,
+                                                    consolidate_tracks)
+
+        imgs = sorted(f for f in os.listdir(consolidate_images)
+                      if f.lower().endswith((".png", ".jpg", ".jpeg")))
+        if len(imgs) != len(files):
+            raise SystemExit(f"{consolidate_images}: {len(imgs)} images for "
+                             f"{len(files)} masks")
+        images = [np.asarray(Image.open(os.path.join(consolidate_images, f))
+                             .convert("RGB")) for f in imgs]
+        tracked = consolidate_tracks(
+            tracked, images, ConsolidateConfig(
+                adjacency_frac=adjacency_frac, color_thresh=color_thresh))
     n_ids = 0
     for f, t in zip(files, tracked):
         n_ids = max(n_ids, int(t.max()))
@@ -158,6 +178,11 @@ def main(argv=None):
     tr.add_argument("--iou_threshold", type=float, default=0.3)
     tr.add_argument("--memory_frames", type=int, default=30)
     tr.add_argument("--min_pixels", type=int, default=16)
+    tr.add_argument("--consolidate_images", default=None,
+                    help="RGB frame dir; enables the in-clip consensus merge "
+                    "of region tracks into object ids (DEVA-style)")
+    tr.add_argument("--adjacency_frac", type=float, default=0.5)
+    tr.add_argument("--color_thresh", type=float, default=0.10)
 
     sg = sp.add_parser("segment", help="in-framework per-frame instance "
                        "proposals (SLIC + region merge, pipeline/segment.py) "
@@ -183,7 +208,10 @@ def main(argv=None):
         return
     if args.cmd == "track":
         track_sequence(args.masks, args.out, args.iou_threshold,
-                       args.memory_frames, args.min_pixels)
+                       args.memory_frames, args.min_pixels,
+                       consolidate_images=args.consolidate_images,
+                       adjacency_frac=args.adjacency_frac,
+                       color_thresh=args.color_thresh)
         return
     if args.cmd == "from_deva":
         print(f"+ {args.deva_cmd}")

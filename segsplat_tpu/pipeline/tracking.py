@@ -132,6 +132,107 @@ class InstanceTracker:
         return ids
 
 
+@dataclasses.dataclass
+class ConsolidateConfig:
+    min_cooccur: int = 3        # frames both tracks must co-appear in
+    adjacency_frac: float = 0.5  # fraction of co-occurring frames touching
+    boundary_min: int = 8        # shared-boundary px for "touching"
+    color_thresh: float = 0.10   # pooled mean-color gate (needs images)
+
+
+def consolidate_tracks(id_maps: Sequence[np.ndarray],
+                       images: Sequence[np.ndarray] | None = None,
+                       cfg: ConsolidateConfig = ConsolidateConfig()
+                       ) -> List[np.ndarray]:
+    """DEVA-style in-clip consensus: merge region-level tracks into
+    object-level ids using whole-sweep evidence.
+
+    The reference's DEVA merges per-frame segments into objects by
+    propagating and voting masks across the clip (in-clip consensus,
+    Tracking-Anything-with-DEVA); our SLIC proposals instead split one
+    object into several superpixel-level tracks, which the strict 1-1
+    identity protocol punishes. This pass fuses tracks that the whole
+    sweep says are one object: a pair merges when it co-occurs in
+    ≥``min_cooccur`` frames, shares a ≥``boundary_min``-px boundary in
+    ≥``adjacency_frac`` of those frames, and (when ``images`` are given)
+    has pooled mean colors within ``color_thresh``. Merging is union-find
+    with color pooling, strongest adjacency evidence first, so transitive
+    chains still respect the color gate.
+
+    ``id_maps`` are temporally-consistent maps from associate_sequence
+    (0 = background). Returns new maps with ids compacted to 1..N.
+    """
+    id_maps = [np.asarray(m) for m in id_maps]
+    n = int(max((m.max() for m in id_maps), default=0))
+    if n == 0:
+        return [m.copy() for m in id_maps]
+    F = len(id_maps)
+    present = np.zeros((F, n + 1), bool)
+    adj = np.zeros((n + 1, n + 1), np.int64)      # frames with contact
+    csum = np.zeros((n + 1, 3), np.float64)
+    ccnt = np.zeros(n + 1, np.float64)
+    for f, m in enumerate(id_maps):
+        present[f, np.unique(m)] = True
+        # shared-boundary length between distinct nonzero ids, 4-neighborhood
+        keys = []
+        for a, b in ((m[:, :-1], m[:, 1:]), (m[:-1, :], m[1:, :])):
+            lo = np.minimum(a, b).ravel()
+            hi = np.maximum(a, b).ravel()
+            sel = (lo > 0) & (lo != hi)
+            keys.append(lo[sel].astype(np.int64) * (n + 1) + hi[sel])
+        pair_keys, counts = np.unique(np.concatenate(keys),
+                                      return_counts=True)
+        strong = pair_keys[counts >= cfg.boundary_min]
+        adj[strong // (n + 1), strong % (n + 1)] += 1
+        if images is not None:
+            img = np.asarray(images[f])
+            if img.dtype == np.uint8:
+                img = img.astype(np.float32) / 255.0
+            flat = m.ravel()
+            np.add.at(csum, flat, img.reshape(-1, 3))
+            ccnt += np.bincount(flat, minlength=n + 1)
+    present[:, 0] = False
+    cooccur = present.astype(np.int64).T @ present.astype(np.int64)
+    mean = csum / np.maximum(ccnt, 1.0)[:, None]
+
+    ii, jj = np.nonzero((cooccur >= cfg.min_cooccur)
+                        & (adj / np.maximum(cooccur, 1) >= cfg.adjacency_frac))
+    frac = (adj / np.maximum(cooccur, 1))[ii, jj]
+    order = np.argsort(-frac)
+
+    parent = np.arange(n + 1)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for k in order:
+        ra, rb = find(int(ii[k])), find(int(jj[k]))
+        if ra == rb:
+            continue
+        if images is not None:
+            d = float(np.sqrt(np.sum((mean[ra] - mean[rb]) ** 2)))
+            if d >= cfg.color_thresh:
+                continue
+            tot = ccnt[ra] + ccnt[rb]
+            mean[ra] = (mean[ra] * ccnt[ra] + mean[rb] * ccnt[rb]) \
+                / max(tot, 1.0)
+            ccnt[ra] = tot
+        parent[rb] = ra
+
+    roots = np.array([find(i) for i in range(n + 1)])
+    uniq = np.unique(roots[1:])
+    remap = np.zeros(n + 1, np.int64)
+    remap[uniq] = np.arange(1, len(uniq) + 1)
+    remap = remap[roots]                         # id → compacted merged id
+    remap[0] = 0
+    n_out = int(remap.max())
+    dtype = np.uint8 if n_out <= 255 else np.uint16
+    return [remap[m].astype(dtype) for m in id_maps]
+
+
 def associate_sequence(frames: Iterable[np.ndarray],
                        cfg: TrackerConfig = TrackerConfig()
                        ) -> List[np.ndarray]:

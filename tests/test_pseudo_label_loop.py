@@ -31,3 +31,12 @@ def test_pseudo_label_loop_miniature(tmp_path):
     assert r["background_iou"] > 0.8, r
     # the tracker must produce a usable id budget (not one-id-per-frame soup)
     assert 5 <= r["n_tracks"] <= 120, r
+    # LERF-Masked protocol on the trained scene (text grounding → IoA id
+    # selection → argmax-membership export; calibration: mask IoU 0.22,
+    # boundary IoU 0.16 at this config) — and a control prompt with a fresh
+    # random embedding must select no object ids
+    assert r["lerf"]["lerf_mask_iou"] > 0.10, r
+    assert r["lerf"]["lerf_boundary_iou"] > 0.05, r
+    # grounding noise may push a px-scale argmax fragment past the IoA gate,
+    # but the control prompt's exported mask must cover ~nothing
+    assert r["lerf"]["control_export_px_frac"] < 0.01, r

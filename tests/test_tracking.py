@@ -93,3 +93,61 @@ def test_track_cli(tmp_path):
     assert t0[8, 7] == t5[8, 17] != 0
     assert t0[30, 12] == t5[40, 12] != 0
     assert t0[8, 7] != t0[30, 12]
+
+
+def test_consolidate_merges_split_object():
+    """In-clip consensus (pipeline/tracking.consolidate_tracks): one object
+    segmented as two half-regions in every frame merges into ONE id, while a
+    differently-colored neighbor and a same-colored but never-adjacent object
+    keep their own ids."""
+    from segsplat_tpu.pipeline.tracking import (ConsolidateConfig,
+                                                consolidate_tracks)
+
+    frames, images = [], []
+    for t in range(6):
+        m = np.zeros((48, 48), np.int32)
+        img = np.zeros((48, 48, 3), np.float32)
+        x = 2 + 2 * t
+        _square(m, x, 4, 6, 1)            # object A, left half
+        _square(m, x + 6, 4, 6, 2)        # object A, right half (adjacent)
+        img[4:10, x:x + 12] = (0.9, 0.1, 0.1)          # same red
+        _square(m, x, 20, 8, 3)           # object B: touches A's band? no —
+        img[20:28, x:x + 8] = (0.1, 0.2, 0.9)          # blue, separate rows
+        _square(m, 6, 38, 8, 4)           # object C: red like A, far away
+        img[38:46, 6:14] = (0.9, 0.1, 0.1)
+        frames.append(m)
+        images.append(img)
+    out = consolidate_tracks(frames, images, ConsolidateConfig(
+        min_cooccur=3, adjacency_frac=0.5, boundary_min=4, color_thresh=0.15))
+    f0 = out[0]
+    # halves of A merged
+    assert f0[6, 4] == f0[6, 12] != 0
+    # B and C survive as their own ids
+    assert f0[24, 4] not in (0, f0[6, 4])
+    assert f0[42, 8] not in (0, f0[6, 4], f0[24, 4])
+    # ids compacted to 1..3
+    assert set(np.unique(f0)) == {0, 1, 2, 3}
+
+
+def test_consolidate_color_gate_blocks_cross_object_merge():
+    """Two consistently-adjacent but differently-colored tracks must NOT
+    merge; without images (no color evidence) adjacency alone merges them."""
+    from segsplat_tpu.pipeline.tracking import (ConsolidateConfig,
+                                                consolidate_tracks)
+
+    frames, images = [], []
+    for t in range(5):
+        m = np.zeros((32, 32), np.int32)
+        img = np.zeros((32, 32, 3), np.float32)
+        _square(m, 4, 4, 8, 1)
+        _square(m, 12, 4, 8, 2)           # always touching object 1
+        img[4:12, 4:12] = (1.0, 0.0, 0.0)
+        img[4:12, 12:20] = (0.0, 1.0, 0.0)
+        frames.append(m)
+        images.append(img)
+    cfg = ConsolidateConfig(min_cooccur=3, adjacency_frac=0.5,
+                            boundary_min=4, color_thresh=0.15)
+    kept = consolidate_tracks(frames, images, cfg)
+    assert kept[0][8, 8] != kept[0][8, 16]
+    merged = consolidate_tracks(frames, None, cfg)
+    assert merged[0][8, 8] == merged[0][8, 16]
