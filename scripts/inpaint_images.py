@@ -8,11 +8,15 @@ Masks can be given either as the training ``object_mask/`` id maps plus
 --select_obj_id (the reference's selection convention), or as binary PNGs
 (nonzero = hole). The hole is optionally dilated (the reference dilates masks
 before LaMa so shadows/fringes are refilled too), then filled on the TPU with
-mask-aware push–pull + Jacobi diffusion (segsplat_tpu/ops/inpaint.py).
+either mask-aware push–pull + Jacobi diffusion (--method pushpull,
+segsplat_tpu/ops/inpaint.py) or texture-synthesizing multi-scale PatchMatch
+patch voting (--method patch, the default — segsplat_tpu/ops/inpaint_patch.py,
+closer to what LaMa produces on textured backgrounds).
 
 Usage:
   python scripts/inpaint_images.py --images <dir> --masks <dir> \
-      --out images_inpaint_unseen [--select_obj_id 3 7] [--dilate 12]
+      --out images_inpaint_unseen [--select_obj_id 3 7] [--dilate 12] \
+      [--method patch|pushpull]
 """
 
 from __future__ import annotations
@@ -72,6 +76,10 @@ def main(argv=None):
                    help="treat masks as id maps and fill these ids")
     p.add_argument("--dilate", type=int, default=12)
     p.add_argument("--smooth_iters", type=int, default=64)
+    p.add_argument("--method", choices=("patch", "pushpull"),
+                   default="patch",
+                   help="patch: texture-synthesizing PatchMatch voting; "
+                        "pushpull: membrane (harmonic) fill only")
     args = p.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
@@ -86,8 +94,13 @@ def main(argv=None):
             "RGB"), np.float32) / 255.0
         hole = dilate(load_mask(mask_by_stem[stem], args.select_obj_id),
                       args.dilate)
-        out = np.asarray(inpaint_pushpull(img, hole,
-                                          smooth_iters=args.smooth_iters))
+        if args.method == "patch":
+            from segsplat_tpu.ops.inpaint_patch import inpaint_texture
+
+            out = inpaint_texture(img, hole)
+        else:
+            out = np.asarray(inpaint_pushpull(img, hole,
+                                              smooth_iters=args.smooth_iters))
         Image.fromarray((np.clip(out, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(args.out, f))
         n += 1

@@ -1,0 +1,263 @@
+"""Texture-synthesizing 2D inpainting (multi-scale PatchMatch + patch voting).
+
+The reference vendors LaMa (~12.5k LoC, lama/) to fill object-removal holes
+with *texture*, not just smooth membrane color (lama/prepare_pseudo_label.py
+copies the fills into ``images_inpaint_unseen/`` for the masked finetune).
+``ops/inpaint.py`` covers the low-frequency part (push–pull + diffusion);
+this module adds the texture part without any learned weights: the classic
+PatchMatch / texture-optimization EM loop (Barnes et al. 2009, Kwatra et al.
+2005 — the algorithm behind content-aware fill), re-designed for XLA:
+
+  - coarse-to-fine over a pyramid (static level count);
+  - per level, a nearest-neighbor field (NNF) over the COMPACTED hole-pixel
+    list (static padded length — TPU-friendly, no dense [H,W,K] blowup):
+    fixed PM iterations, each scoring 7 static candidates per hole pixel
+    (current, 4 neighbor propagations, 1 local random search with halving
+    radius, 1 global random restart) by patch SSD on the current estimate;
+  - M-step: every hole patch votes its matched source patch onto the pixels
+    it covers (p² shifted scatter-adds), synthesizing coherent texture;
+  - the E/M pair repeats ``em_iters`` times per level, then the estimate
+    and NNF upsample to the next level.
+
+All shapes are static per (image size, hole count bucket); the per-level
+host precomputation (hole list, neighbor indices, source-validity map) is
+cheap numpy on the mask only. Known pixels are returned bit-identical.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from segsplat_tpu.ops.inpaint import inpaint_pushpull
+
+_INF = jnp.float32(1e30)
+
+
+def _level_masks(hole: np.ndarray, levels: int):
+    """Downsample the hole mask: a coarse pixel is a hole iff ANY child is
+    (so no synthesized value ever leaks into known pixels on the way up)."""
+    masks = [hole.astype(bool)]
+    for _ in range(levels - 1):
+        m = masks[-1]
+        h2, w2 = (m.shape[0] + 1) // 2, (m.shape[1] + 1) // 2
+        pad = np.zeros((h2 * 2, w2 * 2), bool)
+        pad[:m.shape[0], :m.shape[1]] = m
+        masks.append(pad.reshape(h2, 2, w2, 2).any(axis=(1, 3)))
+    return masks[::-1]                      # coarsest first
+
+
+def _host_level(mask: np.ndarray, patch: int):
+    """Per-level static data from the hole mask (numpy, mask-only).
+
+    Returns (hole_yx [Nh,2], nbr_idx [Nh,4], src_ok [H,W] bool, idx_map
+    [H,W] int32 coord→hole-list index or -1). Nh is the true count (the
+    caller pads to a bucket)."""
+    h, w = mask.shape
+    ys, xs = np.nonzero(mask)
+    hole_yx = np.stack([ys, xs], axis=1).astype(np.int32)
+    idx_map = np.full((h, w), -1, np.int32)
+    idx_map[ys, xs] = np.arange(len(ys), dtype=np.int32)
+
+    nbr = np.empty((len(ys), 4), np.int32)
+    for j, (dy, dx) in enumerate(((0, -1), (0, 1), (-1, 0), (1, 0))):
+        ny = np.clip(ys + dy, 0, h - 1)
+        nx = np.clip(xs + dx, 0, w - 1)
+        n = idx_map[ny, nx]
+        nbr[:, j] = np.where(n >= 0, n, idx_map[ys, xs])   # missing → self
+
+    # valid source centers: patch window fully inside AND hole-free
+    r = patch // 2
+    c = np.cumsum(np.cumsum(mask.astype(np.int64), 0), 1)
+    cp = np.zeros((h + 1, w + 1), np.int64)
+    cp[1:, 1:] = c
+    y0 = np.clip(np.arange(h) - r, 0, h)
+    y1 = np.clip(np.arange(h) + r + 1, 0, h)
+    x0 = np.clip(np.arange(w) - r, 0, w)
+    x1 = np.clip(np.arange(w) + r + 1, 0, w)
+    holes_in_win = (cp[y1][:, x1] - cp[y0][:, x1]
+                    - cp[y1][:, x0] + cp[y0][:, x0])
+    src_ok = holes_in_win == 0
+    src_ok[:r] = src_ok[h - r:] = False
+    src_ok[:, :r] = src_ok[:, w - r:] = False
+    if not src_ok.any():                    # fully-masked level: allow all
+        src_ok = ~mask
+        if not src_ok.any():
+            src_ok = np.ones_like(mask)
+    return hole_yx, nbr, src_ok, idx_map
+
+
+def _patch_mat(img: jax.Array, patch: int) -> jax.Array:
+    """[H, W, patch²·C] matrix of edge-clamped patches around each pixel."""
+    r = patch // 2
+    shifts = []
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            s = jnp.roll(img, (-dy, -dx), axis=(0, 1))
+            # edge-clamp the wrapped rows/cols
+            if dy > 0:
+                s = s.at[-dy:].set(s[-dy - 1])
+            elif dy < 0:
+                s = s.at[:-dy].set(s[-dy])
+            if dx > 0:
+                s = s.at[:, -dx:].set(s[:, -dx - 1:-dx])
+            elif dx < 0:
+                s = s.at[:, :-dx].set(s[:, -dx:-dx + 1])
+            shifts.append(s)
+    return jnp.concatenate(shifts, axis=-1).reshape(
+        img.shape[0], img.shape[1], -1)
+
+
+@partial(jax.jit, static_argnames=("patch", "pm_iters", "em_iters"))
+def _pm_level(img, hole_m, hole_yx, nbr_idx, src_ok, live, init_nnf, key,
+              patch: int, pm_iters: int, em_iters: int):
+    """One pyramid level: EM texture optimization over the hole list.
+
+    img [H,W,C] current estimate; hole_m [H,W] bool; hole_yx [Nh,2] padded
+    hole coords; live [Nh] bool marks real (non-pad) rows; init_nnf [Nh,2]
+    initial source coords. Returns (new img, nnf)."""
+    h, w, cch = img.shape
+    n = hole_yx.shape[0]
+
+    def cost_of(pmat, tgt_rows, cand):
+        cy = jnp.clip(cand[:, 0], 0, h - 1)
+        cx = jnp.clip(cand[:, 1], 0, w - 1)
+        ok = src_ok[cy, cx] & (cand[:, 0] >= 0) & (cand[:, 0] < h) \
+            & (cand[:, 1] >= 0) & (cand[:, 1] < w)
+        d = pmat[cy, cx] - tgt_rows
+        return jnp.where(ok, jnp.sum(d * d, axis=-1), _INF)
+
+    def em_round(carry, _):
+        img_e, nnf, key = carry
+        pmat = _patch_mat(img_e, patch)
+        tgt_rows = pmat[hole_yx[:, 0], hole_yx[:, 1]]    # [Nh, p²C]
+
+        def pm_iter(carry, it):
+            nnf, key = carry
+            best = cost_of(pmat, tgt_rows, nnf)
+
+            def consider(nnf_best, cand):
+                nnf, best = nnf_best
+                c = cost_of(pmat, tgt_rows, cand)
+                take = c < best
+                return (jnp.where(take[:, None], cand, nnf),
+                        jnp.where(take, c, best))
+
+            state = (nnf, best)
+            # propagation: if the neighbor at p+δ matches source s, p tries
+            # s-δ — shifting the alignment, not duplicating the source
+            deltas = jnp.asarray([[0, -1], [0, 1], [-1, 0], [1, 0]],
+                                 jnp.int32)
+            for j in range(4):
+                state = consider(state, state[0][nbr_idx[:, j]] - deltas[j])
+            key, k2, k3 = jax.random.split(key, 3)
+            radius = jnp.maximum(
+                (jnp.int32(max(h, w)) >> it).astype(jnp.int32), 2)
+            local = state[0] + jax.random.randint(
+                k3, (n, 2), -radius, radius + 1)
+            state = consider(state, local)                # random search
+            glob = jnp.stack([jax.random.randint(k2, (n,), 0, h),
+                              jax.random.randint(k2, (n,), 0, w)], axis=1)
+            state = consider(state, glob)                 # random restart
+            return (state[0], key), None
+
+        (nnf, key), _ = jax.lax.scan(pm_iter, (nnf, key),
+                                     jnp.arange(pm_iters))
+
+        # M-step: every hole patch votes its source patch onto the pixels
+        # it covers (p² shifted scatter-adds over the flat image)
+        r = patch // 2
+        acc = jnp.zeros((h * w, cch), jnp.float32)
+        wgt = jnp.zeros((h * w,), jnp.float32)
+        sy = jnp.clip(nnf[:, 0], 0, h - 1)
+        sx = jnp.clip(nnf[:, 1], 0, w - 1)
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                ty = hole_yx[:, 0] + dy
+                tx = hole_yx[:, 1] + dx
+                inb = live & (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
+                tflat = jnp.where(inb, ty * w + tx, 0)
+                vote = img_e[jnp.clip(sy + dy, 0, h - 1),
+                             jnp.clip(sx + dx, 0, w - 1)]
+                mw = inb.astype(jnp.float32)
+                acc = acc.at[tflat].add(vote * mw[:, None])
+                wgt = wgt.at[tflat].add(mw)
+        synth = (acc / jnp.maximum(wgt, 1e-8)[:, None]).reshape(h, w, cch)
+        img_e = jnp.where((hole_m & (wgt.reshape(h, w) > 0))[..., None],
+                          synth, img_e)
+        return (img_e, nnf, key), None
+
+    (img, nnf, _), _ = jax.lax.scan(em_round, (img, init_nnf, key),
+                                    None, length=em_iters)
+    return img, nnf
+
+
+def inpaint_texture(image, hole, patch: int = 7, levels: int | None = None,
+                    pm_iters: int = 6, em_iters: int = 3, seed: int = 0):
+    """Fill ``hole`` pixels of ``image`` with synthesized texture.
+
+    image [H,W,C] float; hole [H,W] bool (True = fill). Returns float32
+    [H,W,C]; known pixels are bit-identical to the input. Compiles per
+    (image size, per-level hole-count bucket) — intended for the editing
+    workflow where one mask geometry is reused across a scene's frames.
+    """
+    img = np.asarray(image, np.float32)
+    hole = np.asarray(hole, bool)
+    if not hole.any():
+        return img.copy()
+    h, w = hole.shape
+    if levels is None:
+        # coarsest level ≳ 4·patch so patches still see structure
+        levels = max(1, int(np.floor(np.log2(max(min(h, w)
+                                                 / (4 * patch), 1)))) + 1)
+
+    est = np.asarray(inpaint_pushpull(img, hole))        # low-freq init
+    masks = _level_masks(hole, levels)
+    key = jax.random.PRNGKey(seed)
+    nnf_prev = None
+    prev_idx_map = None
+    for li, m in enumerate(masks):
+        lh, lw = m.shape
+        # known pixels come from the ORIGINAL image at this scale (resizing
+        # the coarser level's whole output would blur the sources the
+        # matcher needs); only the hole carries the coarser estimate up
+        lvl_base = np.asarray(jax.image.resize(
+            img, (lh, lw, img.shape[2]), method="bilinear"))
+        lvl_est = np.asarray(jax.image.resize(
+            est, (lh, lw, img.shape[2]), method="bilinear"))
+        lvl_img = jnp.asarray(np.where(m[..., None], lvl_est, lvl_base))
+        hole_yx, nbr, src_ok, idx_map = _host_level(m, patch)
+        nh = len(hole_yx)
+        bucket = max(8, 1 << int(np.ceil(np.log2(max(nh, 1)))))
+        pad = bucket - nh
+        hole_p = np.pad(hole_yx, ((0, pad), (0, 0)))
+        nbr_p = np.pad(nbr, ((0, pad), (0, 0)))
+        live = np.arange(bucket) < nh
+
+        rng = np.random.default_rng(seed + li)
+        sy, sx = np.nonzero(src_ok)
+        pick = rng.integers(0, len(sy), bucket)
+        init = np.stack([sy[pick], sx[pick]], axis=1).astype(np.int32)
+        if nnf_prev is not None:                         # upsample parent NNF
+            par = prev_idx_map[hole_yx[:, 0] // 2, hole_yx[:, 1] // 2]
+            good = par >= 0
+            up = nnf_prev[np.clip(par, 0, len(nnf_prev) - 1)] * 2 \
+                + (hole_yx & 1)
+            init[:nh] = np.where(good[:, None], up.astype(np.int32),
+                                 init[:nh])
+
+        key, sub = jax.random.split(key)
+        out, nnf = _pm_level(lvl_img, jnp.asarray(m), jnp.asarray(hole_p),
+                             jnp.asarray(nbr_p), jnp.asarray(src_ok),
+                             jnp.asarray(live), jnp.asarray(init), sub,
+                             patch=patch, pm_iters=pm_iters,
+                             em_iters=em_iters)
+        est = np.asarray(out)
+        nnf_prev = np.asarray(nnf)[:nh]
+        prev_idx_map = idx_map
+
+    out = np.where(hole[..., None], est, img)
+    return out.astype(np.float32)
