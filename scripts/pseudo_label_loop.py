@@ -372,7 +372,14 @@ def lerf_protocol_eval(logit_maps, gts, alphas, seed: int = 0,
 # ───────────────────────── the loop ─────────────────────────
 
 def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
-             seed: int = 0, capacity: int = 4096, quiet: bool = False):
+             seed: int = 0, capacity: int = 4096, quiet: bool = False,
+             consolidate: bool = False):
+    """A/B at 36 frames / 128² / 2000 iters (CPU, seed 0): consolidation
+    merges 46→37 tracks and lifts strict 1-1 identity mIoU 0.27→0.30, but
+    its occasional wrong merges cost the reference's own grouping protocol
+    — grouped mIoU 0.66→0.62, LERF mask IoU 0.41→0.37 — so it defaults
+    OFF here and stays available via --consolidate / track
+    --consolidate_images (numbers in BASELINE.md)."""
     from scripts.prepare_pseudo_label import segment_images, track_sequence
     from segsplat_tpu.eval.metrics import confusion_matrix
     from segsplat_tpu.pipeline.train import TrainRunConfig, train
@@ -395,7 +402,8 @@ def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
                    compactness=12.0, merge_thresh=0.15, min_pixels=40)
     track_sequence(seg_dir, mask_dir, iou_threshold=0.4, memory_frames=8,
                    min_pixels=40,
-                   consolidate_images=os.path.join(root, "images"))
+                   consolidate_images=(os.path.join(root, "images")
+                                       if consolidate else None))
     tracked = [np.asarray(Image.open(os.path.join(mask_dir, f)))
                for f in sorted(os.listdir(mask_dir))]
     t_labels = time.perf_counter() - t0
@@ -454,10 +462,14 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=128)
     p.add_argument("--iterations", type=int, default=2000)
     p.add_argument("--capacity", type=int, default=4096)
+    p.add_argument("--consolidate", action="store_true",
+                   help="apply the in-clip consensus track merge (trades "
+                        "grouped/LERF IoU for strict 1-1 compactness — see "
+                        "run_loop docstring)")
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     run_loop(args.out, args.frames, args.size, args.size, args.iterations,
-             capacity=args.capacity)
+             capacity=args.capacity, consolidate=args.consolidate)
 
 
 if __name__ == "__main__":
