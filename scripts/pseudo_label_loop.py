@@ -373,13 +373,19 @@ def lerf_protocol_eval(logit_maps, gts, alphas, seed: int = 0,
 
 def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
              seed: int = 0, capacity: int = 4096, quiet: bool = False,
-             consolidate: bool = False):
+             consolidate: bool = False, max_per_tile: int = 512):
     """A/B at 36 frames / 128² / 2000 iters (CPU, seed 0): consolidation
     merges 46→37 tracks and lifts strict 1-1 identity mIoU 0.27→0.30, but
     its occasional wrong merges cost the reference's own grouping protocol
     — grouped mIoU 0.66→0.62, LERF mask IoU 0.41→0.37 — so it defaults
     OFF here and stays available via --consolidate / track
-    --consolidate_images (numbers in BASELINE.md)."""
+    --consolidate_images (numbers in BASELINE.md).
+
+    max_per_tile: measured NO-OP for quality at this scale — doubling to
+    1024 (miniature config) cuts the surfaced tile overflow ~24k→5.7k pairs
+    but leaves grouped mIoU and LERF IoU bit-identical (0.3892 / 0.2287):
+    the truncated deepest pairs sit behind ~saturated transmittance. Kept
+    at 512; the warning is the observability contract, not a quality bug."""
     from scripts.prepare_pseudo_label import segment_images, track_sequence
     from segsplat_tpu.eval.metrics import confusion_matrix
     from segsplat_tpu.pipeline.train import TrainRunConfig, train
@@ -420,14 +426,15 @@ def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
     run = TrainRunConfig(
         iterations=iterations, test_iterations=(), save_iterations=(),
         checkpoint_iterations=(), log_every=max(iterations // 4, 1),
-        num_classes=256, raster_max_tiles_per_axis=6, raster_max_per_tile=512,
-        raster_tile_chunk=16)
+        num_classes=256, raster_max_tiles_per_axis=6,
+        raster_max_per_tile=max_per_tile, raster_tile_chunk=16)
     state = train(root, os.path.join(root, "model"), opt=opt, run=run,
                   capacity=capacity)
     t_train = time.perf_counter() - t0
 
     import jax as _jax
-    raster_kw = dict(max_tiles_per_axis=6, max_per_tile=512, tile_chunk=16,
+    raster_kw = dict(max_tiles_per_axis=6, max_per_tile=max_per_tile,
+                     tile_chunk=16,
                      backend="xla" if _jax.default_backend() == "cpu"
                      else "pallas")
     preds, n_pred, logit_maps, alphas = predict_identity_maps(
