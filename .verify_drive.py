@@ -116,3 +116,18 @@ ob = render(t, cam_back, jnp.ones(3))
 print("probe backwards-camera: visible =", int(ob["visibility_filter"].sum()),
       "mean rgb =", float(ob["render"].mean()))
 print("RENDER OK")
+
+# ── texture inpainting (ops/inpaint_patch.py — the LaMa-substitute fill) ──
+from segsplat_tpu.ops.inpaint_patch import inpaint_texture
+
+xx2 = np.arange(48)[None, :].repeat(48, axis=0)
+tex = (0.5 + 0.45 * np.sin(xx2 * (2 * np.pi / 8))).astype(np.float32)
+tex = np.stack([tex, tex * 0.8, 1 - tex], axis=-1)
+hole2 = np.zeros((48, 48), bool); hole2[18:30, 18:30] = True
+t0 = time.time()
+fill = inpaint_texture(tex, hole2, pm_iters=4, em_iters=2, seed=0)
+err = float(np.abs(fill - tex)[hole2].mean())
+print("inpaint: texture MAE %.4f (%.1fs incl compile)" % (err, time.time() - t0))
+assert err < 0.05
+assert (fill[~hole2] == tex[~hole2]).all()
+print("INPAINT OK")

@@ -92,7 +92,7 @@ def orbit_cameras(F: int, H: int, W: int, radius: float = 3.0,
     return Rs, ts, fx, fx
 
 
-def render_sweep(g, Rs, ts, fx, fy, H, W):
+def render_sweep(g, Rs, ts, fx, fy, H, W, max_per_tile=512):
     """RGB frames + GT instance-id maps via the framework rasterizer (one-hot
     object channels; alpha<0.5 → background 0)."""
     import jax.numpy as jnp
@@ -104,7 +104,8 @@ def render_sweep(g, Rs, ts, fx, fy, H, W):
     onehot[np.arange(len(g["oid"])), g["oid"] - 1] = 1.0
     payload = jnp.asarray(np.concatenate([g["rgb"], onehot], axis=1))
     import jax as _jax
-    kw = dict(width=W, height=H, max_tiles_per_axis=6, max_per_tile=512,
+    kw = dict(width=W, height=H, max_tiles_per_axis=6,
+              max_per_tile=max_per_tile,
               backend="xla" if _jax.default_backend() == "cpu" else "pallas",
               tile_chunk=16)
     rgbs, gts = [], []
@@ -387,7 +388,6 @@ def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
     the truncated deepest pairs sit behind ~saturated transmittance. Kept
     at 512; the warning is the observability contract, not a quality bug."""
     from scripts.prepare_pseudo_label import segment_images, track_sequence
-    from segsplat_tpu.eval.metrics import confusion_matrix
     from segsplat_tpu.pipeline.train import TrainRunConfig, train
     from segsplat_tpu.train.trainer import OptimizationConfig
     from PIL import Image
@@ -396,7 +396,8 @@ def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
     t0 = time.perf_counter()
     g = build_objects(rng)
     Rs, ts, fx, fy = orbit_cameras(frames, H, W)
-    rgbs, gts = render_sweep(g, Rs, ts, fx, fy, H, W)
+    rgbs, gts = render_sweep(g, Rs, ts, fx, fy, H, W,
+                             max_per_tile=max_per_tile)
     write_colmap_scene(root, g, Rs, ts, fx, fy, rgbs)
     t_render = time.perf_counter() - t0
 

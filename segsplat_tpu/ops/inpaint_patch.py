@@ -116,24 +116,26 @@ def _pm_level(img, hole_m, hole_yx, nbr_idx, src_ok, live, init_nnf, key,
               patch: int, pm_iters: int, em_iters: int):
     """One pyramid level: EM texture optimization over the hole list.
 
-    img [H,W,C] current estimate; hole_m [H,W] bool; hole_yx [Nh,2] padded
-    hole coords; live [Nh] bool marks real (non-pad) rows; init_nnf [Nh,2]
-    initial source coords. Returns (new img, nnf)."""
+    img [H,W,C] current estimate; hole_m [H,W] bool; hole_yx [2,Nh] padded
+    hole coords; nbr_idx [4,Nh]; live [Nh] bool marks real (non-pad) rows;
+    init_nnf [2,Nh] initial source coords. Coordinate tables are PLANAR
+    ([2,N], not [N,2]) per the house TPU rule — a 2-wide minor dim pads to
+    128 lanes. Returns (new img, nnf [2,Nh])."""
     h, w, cch = img.shape
-    n = hole_yx.shape[0]
+    n = hole_yx.shape[1]
 
     def cost_of(pmat, tgt_rows, cand):
-        cy = jnp.clip(cand[:, 0], 0, h - 1)
-        cx = jnp.clip(cand[:, 1], 0, w - 1)
-        ok = src_ok[cy, cx] & (cand[:, 0] >= 0) & (cand[:, 0] < h) \
-            & (cand[:, 1] >= 0) & (cand[:, 1] < w)
+        cy = jnp.clip(cand[0], 0, h - 1)
+        cx = jnp.clip(cand[1], 0, w - 1)
+        ok = src_ok[cy, cx] & (cand[0] >= 0) & (cand[0] < h) \
+            & (cand[1] >= 0) & (cand[1] < w)
         d = pmat[cy, cx] - tgt_rows
         return jnp.where(ok, jnp.sum(d * d, axis=-1), _INF)
 
     def em_round(carry, _):
         img_e, nnf, key = carry
         pmat = _patch_mat(img_e, patch)
-        tgt_rows = pmat[hole_yx[:, 0], hole_yx[:, 1]]    # [Nh, p²C]
+        tgt_rows = pmat[hole_yx[0], hole_yx[1]]          # [Nh, p²C]
 
         def pm_iter(carry, it):
             nnf, key = carry
@@ -143,24 +145,26 @@ def _pm_level(img, hole_m, hole_yx, nbr_idx, src_ok, live, init_nnf, key,
                 nnf, best = nnf_best
                 c = cost_of(pmat, tgt_rows, cand)
                 take = c < best
-                return (jnp.where(take[:, None], cand, nnf),
+                return (jnp.where(take[None, :], cand, nnf),
                         jnp.where(take, c, best))
 
             state = (nnf, best)
             # propagation: if the neighbor at p+δ matches source s, p tries
             # s-δ — shifting the alignment, not duplicating the source
-            deltas = jnp.asarray([[0, -1], [0, 1], [-1, 0], [1, 0]],
-                                 jnp.int32)
+            deltas = jnp.asarray([[0, 0, -1, 1], [-1, 1, 0, 0]], jnp.int32)
             for j in range(4):
-                state = consider(state, state[0][nbr_idx[:, j]] - deltas[j])
-            key, k2, k3 = jax.random.split(key, 3)
+                state = consider(state,
+                                 state[0][:, nbr_idx[j]] - deltas[:, j:j + 1])
+            key, k2y, k2x, k3 = jax.random.split(key, 4)
             radius = jnp.maximum(
                 (jnp.int32(max(h, w)) >> it).astype(jnp.int32), 2)
             local = state[0] + jax.random.randint(
-                k3, (n, 2), -radius, radius + 1)
+                k3, (2, n), -radius, radius + 1)
             state = consider(state, local)                # random search
-            glob = jnp.stack([jax.random.randint(k2, (n,), 0, h),
-                              jax.random.randint(k2, (n,), 0, w)], axis=1)
+            # independent keys per coordinate: one shared key would make
+            # y==x on square levels, collapsing restarts onto the diagonal
+            glob = jnp.stack([jax.random.randint(k2y, (n,), 0, h),
+                              jax.random.randint(k2x, (n,), 0, w)], axis=0)
             state = consider(state, glob)                 # random restart
             return (state[0], key), None
 
@@ -172,12 +176,12 @@ def _pm_level(img, hole_m, hole_yx, nbr_idx, src_ok, live, init_nnf, key,
         r = patch // 2
         acc = jnp.zeros((h * w, cch), jnp.float32)
         wgt = jnp.zeros((h * w,), jnp.float32)
-        sy = jnp.clip(nnf[:, 0], 0, h - 1)
-        sx = jnp.clip(nnf[:, 1], 0, w - 1)
+        sy = jnp.clip(nnf[0], 0, h - 1)
+        sx = jnp.clip(nnf[1], 0, w - 1)
         for dy in range(-r, r + 1):
             for dx in range(-r, r + 1):
-                ty = hole_yx[:, 0] + dy
-                tx = hole_yx[:, 1] + dx
+                ty = hole_yx[0] + dy
+                tx = hole_yx[1] + dx
                 inb = live & (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
                 tflat = jnp.where(inb, ty * w + tx, 0)
                 vote = img_e[jnp.clip(sy + dy, 0, h - 1),
@@ -250,13 +254,14 @@ def inpaint_texture(image, hole, patch: int = 7, levels: int | None = None,
                                  init[:nh])
 
         key, sub = jax.random.split(key)
-        out, nnf = _pm_level(lvl_img, jnp.asarray(m), jnp.asarray(hole_p),
-                             jnp.asarray(nbr_p), jnp.asarray(src_ok),
-                             jnp.asarray(live), jnp.asarray(init), sub,
-                             patch=patch, pm_iters=pm_iters,
+        out, nnf = _pm_level(lvl_img, jnp.asarray(m),
+                             jnp.asarray(hole_p.T.copy()),
+                             jnp.asarray(nbr_p.T.copy()), jnp.asarray(src_ok),
+                             jnp.asarray(live), jnp.asarray(init.T.copy()),
+                             sub, patch=patch, pm_iters=pm_iters,
                              em_iters=em_iters)
         est = np.asarray(out)
-        nnf_prev = np.asarray(nnf)[:nh]
+        nnf_prev = np.asarray(nnf).T[:nh]
         prev_idx_map = idx_map
 
     out = np.where(hole[..., None], est, img)

@@ -112,6 +112,12 @@ class InstanceTracker:
         self.frame += 1
         live = [i for i, last in enumerate(self.track_last_seen)
                 if self.frame - last <= self.cfg.memory_frames]
+        # expired tracks can never match again — free their full-res masks
+        # (up to max_ids × H×W bools ≈ 0.5 GB at reference resolution)
+        live_set = set(live)
+        for i, mask in enumerate(self.track_masks):
+            if mask is not None and i not in live_set:
+                self.track_masks[i] = None
         iou = _iou_matrix([self.track_masks[i] for i in live], instances)
         match = _match(iou, self.cfg.iou_threshold)
         ids = []
