@@ -374,7 +374,8 @@ def lerf_protocol_eval(logit_maps, gts, alphas, seed: int = 0,
 
 def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
              seed: int = 0, capacity: int = 4096, quiet: bool = False,
-             consolidate: bool = False, max_per_tile: int = 512):
+             consolidate: bool = False, max_per_tile: int = 512,
+             label_source: str = "slic"):
     """A/B at 36 frames / 128² / 2000 iters (CPU, seed 0): consolidation
     merges 46→37 tracks and lifts strict 1-1 identity mIoU 0.27→0.30, but
     its occasional wrong merges cost the reference's own grouping protocol
@@ -402,15 +403,23 @@ def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
     t_render = time.perf_counter() - t0
 
     # stage 2: pseudo-labels via the CLI's own segment+track functions
+    # (label_source='gt' short-circuits to the GT instance maps — the
+    # upper bound isolating training/render quality from label quality)
     t0 = time.perf_counter()
     seg_dir = os.path.join(root, "seg_raw")
     mask_dir = os.path.join(root, "object_mask")
-    segment_images(os.path.join(root, "images"), seg_dir, n_segments=64,
-                   compactness=12.0, merge_thresh=0.15, min_pixels=40)
-    track_sequence(seg_dir, mask_dir, iou_threshold=0.4, memory_frames=8,
-                   min_pixels=40,
-                   consolidate_images=(os.path.join(root, "images")
-                                       if consolidate else None))
+    if label_source == "gt":
+        os.makedirs(mask_dir, exist_ok=True)
+        for f_i, gt in enumerate(gts):
+            Image.fromarray(gt.astype(np.uint8)).save(
+                os.path.join(mask_dir, f"frame_{f_i:03d}.png"))
+    else:
+        segment_images(os.path.join(root, "images"), seg_dir, n_segments=64,
+                       compactness=12.0, merge_thresh=0.15, min_pixels=40)
+        track_sequence(seg_dir, mask_dir, iou_threshold=0.4, memory_frames=8,
+                       min_pixels=40,
+                       consolidate_images=(os.path.join(root, "images")
+                                           if consolidate else None))
     tracked = [np.asarray(Image.open(os.path.join(mask_dir, f)))
                for f in sorted(os.listdir(mask_dir))]
     t_labels = time.perf_counter() - t0
@@ -453,7 +462,8 @@ def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
         "lerf": {k: round(v, 4) if isinstance(v, float) else v
                  for k, v in lerf.items()},
         "config": {"frames": frames, "hw": [H, W], "iterations": iterations,
-                   "n_objects": N_OBJECTS, "capacity": capacity},
+                   "n_objects": N_OBJECTS, "capacity": capacity,
+                   "label_source": label_source},
         "timings_s": {"render_sweep": round(t_render, 1),
                       "pseudo_labels": round(t_labels, 1),
                       "train": round(t_train, 1)},
@@ -474,10 +484,15 @@ def main(argv=None):
                    help="apply the in-clip consensus track merge (trades "
                         "grouped/LERF IoU for strict 1-1 compactness — see "
                         "run_loop docstring)")
+    p.add_argument("--label_source", choices=("slic", "gt"), default="slic",
+                   help="'gt' trains on the GT instance maps — the upper "
+                        "bound isolating training/render quality from the "
+                        "SLIC+track label quality")
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     run_loop(args.out, args.frames, args.size, args.size, args.iterations,
-             capacity=args.capacity, consolidate=args.consolidate)
+             capacity=args.capacity, consolidate=args.consolidate,
+             label_source=args.label_source)
 
 
 if __name__ == "__main__":
