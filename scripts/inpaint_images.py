@@ -86,6 +86,7 @@ def main(argv=None):
     mask_by_stem = {os.path.splitext(f)[0]: os.path.join(args.masks, f)
                     for f in sorted(os.listdir(args.masks))}
     n = 0
+    prev = None     # previous patch-fill: temporal seed (inpaint_sequence)
     for f in sorted(os.listdir(args.images)):
         stem = os.path.splitext(f)[0]
         if stem not in mask_by_stem:
@@ -97,7 +98,10 @@ def main(argv=None):
         if args.method == "patch":
             from segsplat_tpu.ops.inpaint_patch import inpaint_texture
 
-            out = inpaint_texture(img, hole)
+            init = prev if prev is not None \
+                and prev.shape == img.shape else None
+            out = inpaint_texture(img, hole, init_fill=init)
+            prev = out
         else:
             out = np.asarray(inpaint_pushpull(img, hole,
                                               smooth_iters=args.smooth_iters))

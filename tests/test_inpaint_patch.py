@@ -80,3 +80,27 @@ def test_border_hole_and_odd_dims():
     assert np.isfinite(out).all()
     np.testing.assert_array_equal(out[~hole], img[~hole])
     assert (out[hole] >= 0).all() and (out[hole] <= 1).all()
+
+
+def test_sequence_temporal_seeding_consistent():
+    """inpaint_sequence chains each frame's estimate from the previous fill
+    and reuses the PRNG seed: on a genuinely AMBIGUOUS texture (noise — many
+    equally-good matches, unlike periodic textures which recover exactly for
+    any seed), chained fills must be markedly more consistent frame-to-frame
+    than independent fills with different seeds (calibration: 0.096 chained
+    vs 0.174 independent)."""
+    from segsplat_tpu.ops.inpaint_patch import inpaint_sequence, inpaint_texture
+
+    rng = np.random.default_rng(5)
+    h = w = 48
+    img = rng.random((h, w, 3)).astype(np.float32)
+    hole = _hole(h, w, 18, 30, 18, 30)
+    seq = inpaint_sequence([img, img], [hole, hole], pm_iters=4, em_iters=2,
+                           seed=0)
+    d_seq = np.abs(seq[1] - seq[0])[hole].mean()
+    indep = [inpaint_texture(img, hole, pm_iters=4, em_iters=2, seed=s)
+             for s in (0, 1)]
+    d_indep = np.abs(indep[1] - indep[0])[hole].mean()
+    assert d_seq < 0.8 * d_indep, (d_seq, d_indep)
+    # seeded second frame keeps known pixels exact too
+    np.testing.assert_array_equal(seq[1][~hole], img[~hole])
