@@ -30,6 +30,10 @@ def main(argv=None):
     parser.add_argument("--white_background_sem", action="store_true",
                         help="composite logits on 1s instead of 0s (:250-252)")
     parser.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
+    parser.add_argument("--max_views", type=int, default=0,
+                        help="render only the first N views of each split "
+                             "(0 = all; framework extension for bounded "
+                             "runs over the tunnel)")
     args = get_combined_args(parser, argv)
     safe_state(args.quiet)
 
@@ -48,6 +52,8 @@ def main(argv=None):
             continue
         scale = resolution_scale_for(cams[0].width, cams[0].height,
                                      args.resolution)
+        if args.max_views > 0:
+            cams = cams[:args.max_views]
         dcams = [to_device_camera(c, scale) for c in cams]
         out_dir = os.path.join(args.model_path, split,
                                f"ours_{scene.loaded_iter}", "semantics")

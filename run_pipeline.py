@@ -40,6 +40,8 @@ def main(argv=None):
                         "host->device feature transfer: chunk*190MB fp16 at "
                         "officescene scale)")
     p.add_argument("--skip_render", action="store_true")
+    p.add_argument("--render_views", type=int, default=0,
+                   help="render only the first N train views (0 = all)")
     p.add_argument("--render_backend", default="pallas",
                    choices=["pallas", "xla"],
                    help="blend kernel for stage 5 (xla for cpu-backend runs; "
@@ -113,7 +115,9 @@ def main(argv=None):
         rsl.main(["--model_path", args.model_path, "--source_path",
                   args.source_path, "--iteration", str(it),
                   "--semantics", sem, "--skip_test",
-                  "--backend", args.render_backend])
+                  "--backend", args.render_backend]
+                 + (["--max_views", str(args.render_views)]
+                    if args.render_views > 0 else []))
         stage_t["render"] = _time.perf_counter() - _t0
 
     if args.parity_dir:

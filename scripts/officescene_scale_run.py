@@ -226,6 +226,7 @@ def main(argv=None):
              "--prompt", *PROMPTS, "--cell_size", "0.04",
              "--opacity_threshold", "0.2", "--view_chunk", "4",
              "--max_views", str(args.lift_views),
+             "--render_views", str(args.render_views),
              "--work_dir", os.path.join(args.work, "semantic_pipeline")]
     if args.smoke:
         argv2 += ["--render_backend", "xla"]

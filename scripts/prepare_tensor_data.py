@@ -42,7 +42,8 @@ def main(argv=None):
     import torch
 
     files = sorted(glob.glob(os.path.join(args.lseg_dir, "*.npy")))[:args.max_images]
-    name_to_entry, cam_params = load_camera_json(args.scaled_camera_params)
+    name_to_entry, cam_params, _ = load_camera_json(
+        args.scaled_camera_params)
     c2ws, intr, files = camera_arrays_for(files, name_to_entry, cam_params,
                                           args.downsample_factor)
     feats = []

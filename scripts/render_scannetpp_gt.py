@@ -82,7 +82,7 @@ def main(argv=None):
     print(f"[INFO] mesh: {len(verts)} verts, {len(faces)} faces, "
           f"{len(np.unique(face_labels))} labels")
 
-    name_to_entry, cam_params = load_camera_json(args.camera_params)
+    name_to_entry, cam_params, _ = load_camera_json(args.camera_params)
     W = int(round(args.image_size[0] * args.downsample))
     H = int(round(args.image_size[1] * args.downsample))
     os.makedirs(args.out_dir, exist_ok=True)

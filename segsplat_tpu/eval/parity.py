@@ -97,8 +97,20 @@ def compare_label_maps(ours_dir: str, theirs_dir: str) -> list:
     from segsplat_tpu.io.artifacts import load_label_map
 
     reports = []
-    for f in sorted(glob.glob(os.path.join(ours_dir, "*_labels.pt"))):
-        base = os.path.basename(f)
+    ours = {os.path.basename(f) for f in
+            glob.glob(os.path.join(ours_dir, "*_labels.pt"))}
+    theirs = {os.path.basename(f) for f in
+              glob.glob(os.path.join(theirs_dir, "*_labels.pt"))}
+    # a run that produced nothing (or fewer maps than the reference) must
+    # FAIL, not vacuously pass over an empty glob
+    for base in sorted(theirs - ours):
+        reports.append(ParityReport(base, ok=False, note="missing in ours"))
+    if not ours:
+        reports.append(ParityReport("(no *_labels.pt in ours)", ok=False,
+                                    note=ours_dir))
+        return reports
+    for base in sorted(ours):
+        f = os.path.join(ours_dir, base)
         other = os.path.join(theirs_dir, base)
         if not os.path.exists(other):
             reports.append(ParityReport(base, ok=False, note="missing peer"))
@@ -114,6 +126,11 @@ def compare_voxel_grids(ours: str, theirs: str) -> list:
 
     ca, cola, vsa, oa, sa = read_voxel_grid_ply(ours)
     cb, colb, vsb, ob, sb = read_voxel_grid_ply(theirs)
+    if vsa is None or vsb is None:
+        # missing voxel_size header: fail explicitly instead of crashing in
+        # the coordinate quantization below (None == None is NOT parity)
+        return [ParityReport("voxel_size", ok=False,
+                             note=f"missing header: {vsa} vs {vsb}")]
     rep = [ParityReport("voxel_size", ok=(vsa == vsb),
                         note=f"{vsa} vs {vsb}")]
     seta = {tuple(np.round(c / vsa).astype(int)) for c in ca - (oa if oa is not None else 0)}

@@ -82,15 +82,18 @@ def _device_put_bounded(arr: np.ndarray):
     return jnp.concatenate(parts, axis=0)
 
 
-def load_camera_json(path: str) -> Tuple[Dict[str, dict], Dict[str, list]]:
+def load_camera_json(path: str) -> Tuple[Dict[str, dict], Dict[str, list],
+                                         Dict[str, Tuple[int, int]]]:
     """Parse the stage's camera-params JSON (COLMAP-derived): returns
-    (name→{R, tvec, camera_id}, camera_id→[fx,fy,cx,cy]). Accepts both the
+    (name→{R, tvec, camera_id}, camera_id→[fx,fy,cx,cy], camera_id→(W,H)
+    for entries that carry width/height). Accepts both the
     {"images": {...}, "cameras": {...}} layout prepare_tensor_data.py reads and
     the flat {"cameras": [...]} layout the aggregator rescales."""
     with open(path) as f:
         data = json.load(f)
     name_to_entry: Dict[str, dict] = {}
     cam_params: Dict[str, list] = {}
+    cam_sizes: Dict[str, Tuple[int, int]] = {}
     if isinstance(data.get("images"), dict):
         for _k, entry in data["images"].items():
             base = os.path.splitext(os.path.basename(entry["name"]))[0]
@@ -99,6 +102,8 @@ def load_camera_json(path: str) -> Tuple[Dict[str, dict], Dict[str, list]]:
             p = cam["params"]
             cam_params[str(cid)] = ([p[0], p[0], p[1], p[2]] if len(p) == 3
                                     else list(p[:4]))
+            if "width" in cam and "height" in cam:
+                cam_sizes[str(cid)] = (int(cam["width"]), int(cam["height"]))
     else:
         for i, cam in enumerate(data.get("cameras", [])):
             name = os.path.splitext(os.path.basename(
@@ -108,7 +113,10 @@ def load_camera_json(path: str) -> Tuple[Dict[str, dict], Dict[str, list]]:
             name_to_entry[name] = entry
             if "intrinsic" in cam:
                 cam_params[str(entry["camera_id"])] = list(cam["intrinsic"][:4])
-    return name_to_entry, cam_params
+            if "width" in cam and "height" in cam:
+                cam_sizes[str(entry["camera_id"])] = (int(cam["width"]),
+                                                      int(cam["height"]))
+    return name_to_entry, cam_params, cam_sizes
 
 
 def camera_arrays_for(files: Sequence[str], name_to_entry, cam_params,
@@ -173,7 +181,8 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
         files = files[:1]
     if not files:
         raise RuntimeError(f"No .npy feature files in {lseg_dir}")
-    name_to_entry, cam_params = load_camera_json(camera_params)
+    name_to_entry, cam_params, cam_sizes = load_camera_json(
+        camera_params)
     c2ws, intr, files = camera_arrays_for(files, name_to_entry, cam_params,
                                           cfg.downsample_factor)
 
@@ -181,10 +190,24 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
     C = probe.shape[0]
     if image_size is not None:
         H, W = image_size
+        H = int(round(H * cfg.downsample_factor))
+        W = int(round(W * cfg.downsample_factor))
+    elif cam_sizes:
+        # the ray grid must match the plane the (downsample-scaled)
+        # intrinsics describe — the camera's NATIVE image size, not the
+        # LSeg feature-map size (360-short-side). Running on the feature
+        # grid with native-plane intrinsics skews every ray (cx ≈ W_native/2
+        # can exceed the feature width entirely); the reference upsamples
+        # features to the image grid before the kernel for the same reason
+        # (prepare_tensor_data.py:117-127).
+        wh = next(iter(cam_sizes.values()))
+        H = int(round(wh[1] * cfg.downsample_factor))
+        W = int(round(wh[0] * cfg.downsample_factor))
     else:
         H, W = probe.shape[1], probe.shape[2]
-    H = int(round(H * cfg.downsample_factor)) if image_size is not None else H
-    W = int(round(W * cfg.downsample_factor)) if image_size is not None else W
+        print(f"[WARN] camera JSON carries no width/height and no "
+              f"image_size given — lifting on the {H}x{W} feature grid; "
+              f"intrinsics must describe THIS grid for rays to align")
 
     inc = float(vs) * cfg.ray_increment_factor
     fx = float(np.median(intr[:, 0])) if len(intr) else 1.0
@@ -299,8 +322,12 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
         # the next chunk's feature loading; checked once after the loop
         overflow_max = jnp.maximum(overflow_max, chunk_of)
         done += nb
-        if cfg.checkpoint_every and done % cfg.checkpoint_every == 0 \
-                and done < len(files):
+        # fire when done CROSSES a multiple of checkpoint_every — an exact
+        # `done % every == 0` only triggers when every is a multiple of
+        # view_chunk (defaults 20/8 would checkpoint at 40, 80, … not 20)
+        if cfg.checkpoint_every and done < len(files) \
+                and (done // cfg.checkpoint_every
+                     > (done - nb) // cfg.checkpoint_every):
             _write_artifacts(out_dir, done, sums, counts, centers,
                              grid, vs, final=False)
     # the final artifact is written unconditionally — checkpoint_every only

@@ -26,8 +26,13 @@ from segsplat_tpu.utils.system import mkdir_p
 
 
 def confidence_from_logits(logits: np.ndarray, axis: int = -1) -> np.ndarray:
-    """top1 − top2 softmax probability margin (logit_confidence_map.py:6-25)."""
+    """top1 − top2 softmax probability margin (logit_confidence_map.py:6-25).
+
+    A single-class axis has no runner-up: the margin is the full probability
+    mass (1.0 everywhere), not a partition error."""
     x = np.asarray(logits, np.float64)
+    if x.shape[axis] == 1:
+        return np.ones(np.take(x, 0, axis=axis).shape, np.float32)
     x = x - x.max(axis=axis, keepdims=True)
     p = np.exp(x)
     p /= p.sum(axis=axis, keepdims=True)
