@@ -84,7 +84,11 @@ def train(source_path: str, model_path: str,
 
     opt = opt or OptimizationConfig()
     run = run or TrainRunConfig()
-    opt.num_classes = run.num_classes
+    if run.num_classes != opt.num_classes:
+        # run config wins, but never mutate the caller's dataclass in place
+        # (a shared opt instance is also the cached_train_step key)
+        import dataclasses as _dc
+        opt = _dc.replace(opt, num_classes=run.num_classes)
 
     scene = Scene(source_path, model_path, images=images, object_dir=object_dir,
                   eval_split=eval_split, capacity=capacity, seed=run.seed)
@@ -120,18 +124,12 @@ def train(source_path: str, model_path: str,
                          devices=jax.devices()[:n_view * run.mesh_tensor])
         parallel_step = make_parallel_train_step(opt, optimizers, mesh,
                                                  raster_kw)
-        state = parallel_step.replicate(state)
         print(f"[INFO] data-parallel training: view_batch={run.view_batch} "
               f"over mesh view={n_view} tensor={run.mesh_tensor}")
 
     if start_checkpoint:
         state = load_checkpoint(start_checkpoint, state)
         print(f"[INFO] resumed from {start_checkpoint} at step {int(state.step)}")
-        if parallel_step is not None:
-            # the restored leaves are fresh uncommitted single-device arrays;
-            # feeding them to the donated SPMD step would let GSPMD pick
-            # shardings (the bg/densify hazard documented below)
-            state = parallel_step.replicate(state)
 
     cams = scene.get_train_cameras()
     if not cams:
@@ -155,6 +153,12 @@ def train(source_path: str, model_path: str,
 
     bg = jnp.ones((3,)) if run.white_background else jnp.zeros((3,))
     if parallel_step is not None:
+        # replicate ONLY once we know the parallel step survives the
+        # uniform-resolution check — a mesh-committed state fed to the
+        # single-view step_fn raises 'incompatible devices'. Covers both the
+        # fresh init and a loaded checkpoint's uncommitted leaves (feeding
+        # those to the donated SPMD step would let GSPMD pick shardings).
+        state = parallel_step.replicate(state)
         # commit bg replicated: left uncommitted, GSPMD may choose a padded
         # view-partition of the 3-vector that the second call's argument
         # resharding path cannot represent (mesh-divisibility ValueError)
@@ -203,8 +207,10 @@ def train(source_path: str, model_path: str,
                                      jnp.asarray(gt_images[ci]),
                                      jnp.asarray(gt_objs[ci]), bg, sub)
 
-        # densification schedule (train_unified_lift.py:462-477)
-        if (opt.densify_from_iter <= it <= opt.densify_until_iter
+        # densification schedule (train_unified_lift.py:462-477) — strict
+        # bounds exactly as the reference: first densify AFTER from_iter,
+        # none at until_iter
+        if (opt.densify_from_iter < it < opt.densify_until_iter
                 and it % opt.densification_interval == 0):
             key, sub = jax.random.split(key)
             new_table, stats, changed, overflow = densify_and_prune(
@@ -221,11 +227,19 @@ def train(source_path: str, model_path: str,
                 print(f"[WARN] densify overflow: {int(overflow)} children "
                       f"dropped (capacity {state.table.capacity})")
 
-        if it % opt.opacity_reset_interval == 0 or (
-                run.white_background and it == opt.densify_from_iter):
+        # opacity reset lives INSIDE the densification window in the
+        # reference (train_unified_lift.py:462,471-473): no resets after
+        # densify_until_iter — an ungated reset at the final iteration
+        # would ship a model with every opacity clamped to 0.01. Only the
+        # opacity group's Adam moments are zeroed
+        # (replace_tensor_to_optimizer(…, "opacity"), gaussian_model.py:454).
+        if it < opt.densify_until_iter and (
+                it % opt.opacity_reset_interval == 0 or
+                (run.white_background and it == opt.densify_from_iter)):
             new_table, changed = reset_opacity(state.table)
             opt_state = zero_adam_rows(state.opt_state, changed,
-                                       state.table.capacity)
+                                       state.table.capacity,
+                                       fields=("opacity",))
             state = state._replace(table=new_table, opt_state=opt_state)
             if parallel_step is not None:
                 state = parallel_step.replicate(state)

@@ -127,8 +127,9 @@ def densify_and_prune(table: GaussianTable, stats: DensifyStats, rng: jax.Array,
     new_active = active_after.at[slots].set(True, mode="drop")
     new_table = dataclasses.replace(new_table, active=new_active)
 
-    changed = (act != new_active) | new_active & ~active_after
-    changed = changed.at[slots].set(True, mode="drop") | prune | split_mask
+    # changed rows = pruned ∪ split ∪ newly-activated child slots (the
+    # previous (act != new_active) | … terms were all subsets of these)
+    changed = (prune | split_mask).at[slots].set(True, mode="drop")
     return new_table, DensifyStats.zero(C), changed, overflow
 
 
@@ -140,19 +141,32 @@ def reset_opacity(table: GaussianTable) -> Tuple[GaussianTable, jax.Array]:
     return dataclasses.replace(table, opacity=new_op), table.active
 
 
-def zero_adam_rows(opt_state, changed: jax.Array, capacity: int):
+def zero_adam_rows(opt_state, changed: jax.Array, capacity: int,
+                   fields=None):
     """Zero first/second moments on changed rows for every [C, ...] leaf — the
     mask-form of the reference's optimizer-state surgery
-    (_prune_optimizer / cat_tensors_to_optimizer, gaussian_model.py:469-524)."""
+    (_prune_optimizer / cat_tensors_to_optimizer, gaussian_model.py:469-524).
 
-    def zero_leaf(leaf):
+    ``fields``: optional iterable of param/label names; when given, only
+    leaves whose tree path contains one of the names are zeroed — the
+    opacity-reset path must zero ONLY the opacity group's moments
+    (replace_tensor_to_optimizer(…, "opacity"), gaussian_model.py:454-462),
+    not wipe xyz/scale/rotation momentum across the board."""
+    fields = set(fields) if fields is not None else None
+
+    def zero_leaf(path, leaf):
+        if fields is not None:
+            names = {getattr(e, "key", None) for e in path} \
+                | {getattr(e, "name", None) for e in path}
+            if not (names & fields):
+                return leaf
         if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == capacity \
                 and jnp.issubdtype(leaf.dtype, jnp.floating):
             mask = changed.reshape((capacity,) + (1,) * (leaf.ndim - 1))
             return jnp.where(mask, 0.0, leaf)
         return leaf
 
-    return jax.tree_util.tree_map(zero_leaf, opt_state)
+    return jax.tree_util.tree_map_with_path(zero_leaf, opt_state)
 
 
 def grow_capacity(table: GaussianTable, stats: DensifyStats,

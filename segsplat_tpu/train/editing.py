@@ -76,7 +76,9 @@ def inpaint_setup(table: GaussianTable, mask3d: np.ndarray,
 
     kdt = cKDTree(xyz[keep])
     _, nbr = kdt.query(query, k=min(k, int(keep.sum())))
-    nbr = np.atleast_2d(nbr)
+    # k=1 returns a flat (N,) array; atleast_2d would make it (1,N) and the
+    # row-indexed pick below would go out of bounds — reshape per query row
+    nbr = np.asarray(nbr).reshape(len(query), -1)
     keep_rows = np.flatnonzero(keep)
     # copy each new point's features from one random neighbor (the reference
     # samples among the k nearest, :275-305)
@@ -113,8 +115,9 @@ def inpaint_setup(table: GaussianTable, mask3d: np.ndarray,
 def finetune_grad_mask(trainable_rows: np.ndarray):
     """Gradient mask for masked finetuning (finetune_setup's register_hook,
     gaussian_model.py:187-205): multiply every per-row parameter gradient by the
-    mask; identity features stay frozen. Use as
-    ``grads = apply_finetune_mask(grads, mask)`` inside the step."""
+    mask; identity features stay frozen. Returns a callable — use as
+    ``mask_fn = finetune_grad_mask(rows); grads = mask_fn(grads)`` inside the
+    step (see scripts/edit_object_inpaint.py:_finetune)."""
     import jax.numpy as jnp
 
     mask = jnp.asarray(np.asarray(trainable_rows, np.float32))
