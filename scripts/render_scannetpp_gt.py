@@ -101,11 +101,15 @@ def main(argv=None):
         intr = (np.asarray(cam_params[key], np.float32) if key in cam_params
                 else np.asarray(entry["intrinsic"][:4], np.float32))
         fx, fy, cx, cy = intr * args.downsample
-        label, _depth = rasterize_mesh_labels_chunked(
+        label, _depth, overflow = rasterize_mesh_labels_chunked(
             jnp.asarray(verts), faces, face_labels, jnp.asarray(viewmat),
             fx, fy, cx, cy, W, H, face_chunk=args.face_chunk,
             max_tiles_per_axis=args.max_tiles_per_axis,
             max_per_tile=args.max_per_tile)
+        if int(overflow) > 0:
+            print(f"[WARN] {name}: {int(overflow)} faces beyond per-tile "
+                  f"K={args.max_per_tile} — GT labels may be wrong in dense "
+                  f"tiles; raise --max_per_tile")
         label = np.asarray(label)
         save_label_map(os.path.join(args.out_dir, f"{name}_labels.pt"), label)
         if args.save_png:

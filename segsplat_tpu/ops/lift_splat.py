@@ -207,7 +207,12 @@ def _splat_candidates(centers, voxel_ids, c2w, intrinsics, voxel_size,
         rank_sorted = rank_sorted[:pair_cap]
         offsets = jnp.minimum(offsets, pair_cap)
 
-    counts = jnp.minimum(offsets[1:] - offsets[:-1], K)
+    runs = offsets[1:] - offsets[:-1]
+    counts = jnp.minimum(runs, K)
+    # surface the per-tile K truncation (same convention as rasterize()'s
+    # tile_overflow): a pixel whose true first hit ranks past the K nearest
+    # candidates in its tile would silently lift the wrong voxel otherwise
+    tile_overflow = jnp.sum(jnp.maximum(runs - K, 0))
     slot = jnp.arange(K, dtype=jnp.int32)
     widx = jnp.clip(offsets[:-1, None] + slot[None, :], 0,
                     rank_sorted.shape[0] - 1)                    # [T,K]
@@ -219,7 +224,7 @@ def _splat_candidates(centers, voxel_ids, c2w, intrinsics, voxel_size,
     wid = voxel_ids[win_vox]                                     # [T,K] int32
     return dict(counts=counts, wx=wx, wy=wy, wz=wz, wid=wid,
                 tx_n=tx_n, ty_n=ty_n, R_c2w=R_c2w, cam_pos=cam_pos, half=half,
-                bin_overflow=overflow)
+                bin_overflow=overflow, tile_overflow=tile_overflow)
 
 
 def _make_tile_best(cand, intrinsics, depth_min, depth_max, ray_increment,
@@ -325,7 +330,12 @@ def first_hit_voxels_splat(centers: jax.Array,     # [V,3] world voxel centers
     kernel-parity API (scripts/project_features.py et al.) and it returns
     only the hit image, so a big-budget overflow would be undetectable —
     exactness first. lift_view_splat surfaces the overflow count and keeps
-    the fast dual binning on by default."""
+    the fast dual binning on by default.
+
+    NOTE the per-tile ``max_per_tile`` candidate cap still applies here and
+    is likewise undetectable from the hit image alone — callers needing a
+    guarantee should size max_per_tile generously (or run lift_view_splat,
+    whose overflow scalar counts truncated runs)."""
     K = max_per_tile
     cand = _splat_candidates(centers, voxel_ids, c2w, intrinsics, voxel_size,
                              depth_max, width, height, max_tiles_per_axis, K,
@@ -341,13 +351,10 @@ def first_hit_voxels_splat(centers: jax.Array,     # [V,3] world voxel centers
         return jnp.where(any_hit, hit_id, 0)
 
     tile_hits = jax.checkpoint(tile_hits)
-    pad = (-num_tiles) % tile_chunk
-    all_tiles = jnp.arange(num_tiles + pad, dtype=jnp.int32) % num_tiles
-    out = jax.lax.map(tile_hits, all_tiles.reshape(-1, tile_chunk))
-    out = out.reshape(num_tiles + pad, TILE, TILE)[:num_tiles]
-    img = out.reshape(ty_n, tx_n, TILE, TILE).transpose(0, 2, 1, 3)
-    img = img.reshape(ty_n * TILE, tx_n * TILE)
-    return img[:height, :width]
+    from segsplat_tpu.ops.rasterize import map_tile_chunks, tiles_to_image
+    out = map_tile_chunks(tile_hits, num_tiles, tile_chunk)
+    return tiles_to_image(out.reshape(num_tiles, TILE, TILE),
+                          ty_n, tx_n, height, width)
 
 
 @partial(jax.jit, static_argnames=("num_ids", "width", "height",
@@ -379,10 +386,11 @@ def lift_view_splat(centers: jax.Array, voxel_ids: jax.Array,
     groups by (tile, candidate) instead of pixel raster order — identical
     sets of terms, float-associativity differences only.
 
-    Returns (sums [num_ids, C] f32, counts [num_ids] i32, bin_overflow i32
-    scalar). bin_overflow counts big-footprint voxels that exceeded
-    dual_bin's big_budget this view (coverage truncated — raise big_budget
-    or disable dual_bin if ever nonzero); 0 when dual_bin=False.
+    Returns (sums [num_ids, C] f32, counts [num_ids] i32, overflow i32
+    scalar). overflow sums BOTH truncation sources this view: big-footprint
+    voxels that exceeded dual_bin's big_budget (raise big_budget or disable
+    dual_bin), and per-tile candidate runs beyond max_per_tile (raise
+    max_per_tile) — 0 means no coverage was dropped anywhere.
     """
     K = max_per_tile
     CH = features_hwc.shape[-1]
@@ -425,14 +433,10 @@ def lift_view_splat(centers: jax.Array, voxel_ids: jax.Array,
         return part, cnt
 
     tile_partials = jax.checkpoint(tile_partials)
-    pad = (-num_tiles) % tile_chunk
-    all_tiles = jnp.arange(num_tiles + pad, dtype=jnp.int32) % num_tiles
-    parts, cnts = jax.lax.map(tile_partials,
-                              all_tiles.reshape(-1, tile_chunk))
-    parts = parts.reshape(num_tiles + pad, K, CH)[:num_tiles]     # [T,K,CH]
-    cnts = cnts.reshape(num_tiles + pad, K)[:num_tiles]           # [T,K]
-    # pad-duplicate tiles (all_tiles wraps with % num_tiles) are sliced off
-    # above, so each real tile contributes exactly once
+    from segsplat_tpu.ops.rasterize import map_tile_chunks
+    # pad-duplicate tiles are sliced off inside map_tile_chunks, so each
+    # real tile contributes exactly once to the segment sums below
+    parts, cnts = map_tile_chunks(tile_partials, num_tiles, tile_chunk)
     seg = cand["wid"].reshape(-1)                                 # [T·K]
     sums = jax.ops.segment_sum(parts.reshape(-1, CH), seg,
                                num_segments=num_ids)
@@ -442,4 +446,4 @@ def lift_view_splat(centers: jax.Array, voxel_ids: jax.Array,
     # simply absent, so zero row 0 for an identical contract
     sums = sums.at[0].set(0.0)
     counts = counts.at[0].set(0)
-    return sums, counts, cand["bin_overflow"]
+    return sums, counts, cand["bin_overflow"] + cand["tile_overflow"]

@@ -24,7 +24,10 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from segsplat_tpu.ops.rasterize import TILE, Projected, _bin_gaussian_ranks
+from segsplat_tpu.ops.rasterize import (TILE, Projected,
+                                        _bin_gaussian_ranks,
+                                        map_tile_chunks,
+                                        tiles_to_image)
 
 MISS_LABEL = 255
 
@@ -46,9 +49,12 @@ def rasterize_mesh_labels(verts: jax.Array,      # [V, 3] world
     """Render per-pixel face labels with a z-buffer.
 
     Returns (labels [H, W] int32 — MISS_LABEL where no triangle covers,
-    depth [H, W] f32 — +inf at misses). Triangles with any vertex behind
-    ``znear`` or spanning more than ``max_tiles_per_axis`` 16px-tiles per axis
-    are conservatively clipped (pass a finer mesh or larger m for close-ups).
+    depth [H, W] f32 — +inf at misses, overflow i32 scalar — faces dropped
+    beyond the per-tile ``max_per_tile`` cap; nonzero means some pixels may
+    carry a farther face's label or MISS_LABEL, so the GT maps are suspect:
+    raise max_per_tile). Triangles with any vertex behind ``znear`` or
+    spanning more than ``max_tiles_per_axis`` 16px-tiles per axis are
+    conservatively clipped (pass a finer mesh or larger m for close-ups).
     ``depth_init``/``label_init`` merge a previous chunk's z-buffer.
     """
     R = viewmat[:3, :3]
@@ -88,7 +94,18 @@ def rasterize_mesh_labels(verts: jax.Array,      # [V, 3] world
     num_tiles = tx_n * ty_n
 
     K = max_per_tile
-    counts = jnp.minimum(offsets[1:] - offsets[:-1], K)
+    runs = offsets[1:] - offsets[:-1]
+    counts = jnp.minimum(runs, K)
+    overflow = jnp.sum(jnp.maximum(runs - K, 0))
+
+    # planar per-vertex component arrays ([F] each): gathering tri[fidx]
+    # ([C,K,3,2]) / zinv[fidx] ([C,K,3]) pads the tiny (3,2)/(3,) minor dims
+    # to (8,128) TPU tiles — ~170x the logical bytes per tile chunk (house
+    # rule in CLAUDE.md); [C,K] gathers keep the big dim minor
+    x0, y0 = tri[:, 0, 0], tri[:, 0, 1]
+    x1, y1 = tri[:, 1, 0], tri[:, 1, 1]
+    x2, y2 = tri[:, 2, 0], tri[:, 2, 1]
+    zi0, zi1, zi2 = zinv[:, 0], zinv[:, 1], zinv[:, 2]
 
     py, px = jnp.meshgrid(jnp.arange(TILE, dtype=jnp.float32) + 0.5,
                           jnp.arange(TILE, dtype=jnp.float32) + 0.5,
@@ -103,31 +120,33 @@ def rasterize_mesh_labels(verts: jax.Array,      # [V, 3] world
                                     fidx_sorted.shape[0] - 1)]    # [C, K]
         live = slot[None, :] < cnt[:, None]
 
-        tv = tri[fidx]                                            # [C, K, 3, 2]
-        tz = zinv[fidx]                                           # [C, K, 3]
+        ax0, ay0 = x0[fidx], y0[fidx]                             # [C, K] each
+        ax1, ay1 = x1[fidx], y1[fidx]
+        ax2, ay2 = x2[fidx], y2[fidx]
+        z0, z1, z2 = zi0[fidx], zi1[fidx], zi2[fidx]
         lab = face_labels[fidx]                                   # [C, K]
         a2 = area2[fidx]                                          # [C, K]
 
         tx = (tile_ids % tx_n).astype(jnp.float32) * TILE
         ty = (tile_ids // tx_n).astype(jnp.float32) * TILE
-        p = pix[None, :, :] + jnp.stack([tx, ty], axis=1)[:, None, :]  # [C,256,2]
+        ppx = pix[None, :, 0] + tx[:, None]                       # [C, 256]
+        ppy = pix[None, :, 1] + ty[:, None]
 
-        def edge(a, b):
+        def edge(ax, ay, bx, by):
             # cross(b - a, p - a) for all pixels: [C, K, 256]
-            return ((b[..., 0] - a[..., 0])[:, :, None]
-                    * (p[:, None, :, 1] - a[..., 1][:, :, None])
-                    - (b[..., 1] - a[..., 1])[:, :, None]
-                    * (p[:, None, :, 0] - a[..., 0][:, :, None]))
+            return ((bx - ax)[:, :, None] * (ppy[:, None, :] - ay[:, :, None])
+                    - (by - ay)[:, :, None]
+                    * (ppx[:, None, :] - ax[:, :, None]))
 
-        e0 = edge(tv[:, :, 1], tv[:, :, 2])    # barycentric weight of v0
-        e1 = edge(tv[:, :, 2], tv[:, :, 0])    # of v1
-        e2 = edge(tv[:, :, 0], tv[:, :, 1])    # of v2
+        e0 = edge(ax1, ay1, ax2, ay2)          # barycentric weight of v0
+        e1 = edge(ax2, ay2, ax0, ay0)          # of v1
+        e2 = edge(ax0, ay0, ax1, ay1)          # of v2
         s = jnp.sign(a2)[:, :, None]
         inside = ((e0 * s >= 0) & (e1 * s >= 0) & (e2 * s >= 0)
                   & live[:, :, None])
         inv_a2 = jnp.where(jnp.abs(a2) > 1e-12, 1.0 / a2, 0.0)[:, :, None]
-        zinv_pix = (e0 * tz[:, :, 0:1] + e1 * tz[:, :, 1:2]
-                    + e2 * tz[:, :, 2:3]) * inv_a2               # [C, K, 256]
+        zinv_pix = (e0 * z0[:, :, None] + e1 * z1[:, :, None]
+                    + e2 * z2[:, :, None]) * inv_a2              # [C, K, 256]
         depth = jnp.where(inside & (zinv_pix > 0), 1.0 / zinv_pix, jnp.inf)
 
         best = jnp.argmin(depth, axis=1)                         # [C, 256]
@@ -139,35 +158,30 @@ def rasterize_mesh_labels(verts: jax.Array,      # [V, 3] world
         return bd, bl.astype(jnp.int32)
 
     tile_pass = jax.checkpoint(tile_pass)
-    pad_tiles = (-num_tiles) % tile_chunk
-    all_tiles = jnp.arange(num_tiles + pad_tiles, dtype=jnp.int32) % num_tiles
-    depth_t, label_t = jax.lax.map(tile_pass, all_tiles.reshape(-1, tile_chunk))
-    depth_t = depth_t.reshape(-1, TILE, TILE)[:num_tiles]
-    label_t = label_t.reshape(-1, TILE, TILE)[:num_tiles]
-
-    def to_image(x):
-        x = x.reshape(ty_n, tx_n, TILE, TILE).transpose(0, 2, 1, 3)
-        return x.reshape(ty_n * TILE, tx_n * TILE)[:height, :width]
-
-    depth_img = to_image(depth_t)
-    label_img = to_image(label_t)
+    depth_t, label_t = map_tile_chunks(tile_pass, num_tiles, tile_chunk)
+    depth_img = tiles_to_image(depth_t.reshape(num_tiles, TILE, TILE),
+                               ty_n, tx_n, height, width)
+    label_img = tiles_to_image(label_t.reshape(num_tiles, TILE, TILE),
+                               ty_n, tx_n, height, width)
     if depth_init is not None:
         closer = depth_img < depth_init
         label_img = jnp.where(closer, label_img, label_init)
         depth_img = jnp.minimum(depth_img, depth_init)
-    return label_img, depth_img
+    return label_img, depth_img, overflow
 
 
 def rasterize_mesh_labels_chunked(verts, faces, face_labels, viewmat,
                                   fx, fy, cx, cy, width, height,
                                   face_chunk: int = 262_144, **kw):
     """Stream large meshes through the renderer in face chunks, merging
-    z-buffers — memory stays bounded by the chunk's pair table."""
+    z-buffers — memory stays bounded by the chunk's pair table. Returns
+    (labels, depth, overflow) with overflow summed across chunks."""
     import numpy as np
 
     F = faces.shape[0]
     depth = jnp.full((height, width), jnp.inf, jnp.float32)
     label = jnp.full((height, width), MISS_LABEL, jnp.int32)
+    overflow = jnp.int32(0)
     for s in range(0, F, face_chunk):
         f = faces[s:s + face_chunk]
         l = face_labels[s:s + face_chunk]
@@ -178,8 +192,9 @@ def rasterize_mesh_labels_chunked(verts, faces, face_labels, viewmat,
                                 np.full((pad,), MISS_LABEL, np.int32)])
             # padded degenerate faces (all-0 vertex index) have zero area →
             # culled by the validity test
-        label, depth = rasterize_mesh_labels(
+        label, depth, of = rasterize_mesh_labels(
             jnp.asarray(verts), jnp.asarray(f), jnp.asarray(l), viewmat,
             fx, fy, cx, cy, width, height,
             depth_init=depth, label_init=label, **kw)
-    return label, depth
+        overflow = overflow + of
+    return label, depth, overflow

@@ -47,6 +47,32 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def map_tile_chunks(tile_fn, num_tiles: int, tile_chunk: int):
+    """Run ``tile_fn([chunk] int32 tile ids) → pytree of [chunk, ...]`` over
+    all tiles in fixed-size chunks via lax.map. The tail chunk pads by
+    WRAPPING ids (% num_tiles): duplicate tiles are recomputed — never
+    double-written, because the duplicates are sliced off the stacked result
+    — keeping one compiled shape for any num_tiles. Shared by the blend,
+    lift-splat, and mesh-raster tile drivers. Returns the pytree with
+    leading dim ``num_tiles``."""
+    pad = (-num_tiles) % tile_chunk
+    all_tiles = jnp.arange(num_tiles + pad, dtype=jnp.int32) % num_tiles
+    out = jax.lax.map(tile_fn, all_tiles.reshape(-1, tile_chunk))
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((num_tiles + pad,) + x.shape[2:])[:num_tiles],
+        out)
+
+
+def tiles_to_image(x: jax.Array, ty_n: int, tx_n: int,
+                   height: int, width: int) -> jax.Array:
+    """[ty_n·tx_n, TILE, TILE, ...] row-major tile stack → cropped
+    [height, width, ...] image."""
+    extra = x.shape[3:]
+    x = x.reshape((ty_n, tx_n, TILE, TILE) + extra)
+    x = jnp.moveaxis(x, 2, 1)
+    return x.reshape((ty_n * TILE, tx_n * TILE) + extra)[:height, :width]
+
+
 class Projected(NamedTuple):
     means2d: jax.Array   # [N, 2] pixel coords
     depths: jax.Array    # [N]
@@ -233,16 +259,11 @@ def _blend_tiles(sorted_gid, offsets, proj: Projected, colors, opacities,
 
     blend_chunk = jax.checkpoint(blend_chunk)
 
-    pad_tiles = (-num_tiles) % tile_chunk
-    all_tiles = jnp.arange(num_tiles + pad_tiles, dtype=jnp.int32) % num_tiles
-    chunks = all_tiles.reshape(-1, tile_chunk)
-    img, alpha = jax.lax.map(blend_chunk, chunks)
-    img = img.reshape(num_tiles + pad_tiles, TILE, TILE, CH)[:num_tiles]
-    alpha = alpha.reshape(num_tiles + pad_tiles, TILE, TILE)[:num_tiles]
-    img = img.reshape(ty_n, tx_n, TILE, TILE, CH).transpose(0, 2, 1, 3, 4)
-    img = img.reshape(ty_n * TILE, tx_n * TILE, CH)
-    alpha = alpha.reshape(ty_n, tx_n, TILE, TILE).transpose(0, 2, 1, 3)
-    alpha = alpha.reshape(ty_n * TILE, tx_n * TILE)
+    img, alpha = map_tile_chunks(blend_chunk, num_tiles, tile_chunk)
+    img = tiles_to_image(img.reshape(num_tiles, TILE, TILE, CH),
+                         ty_n, tx_n, ty_n * TILE, tx_n * TILE)
+    alpha = tiles_to_image(alpha.reshape(num_tiles, TILE, TILE),
+                           ty_n, tx_n, ty_n * TILE, tx_n * TILE)
     return img, alpha
 
 
@@ -451,7 +472,9 @@ def rasterize(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
     pair_cap (pallas only): static post-sort truncation of the pair list —
     exact whenever it covers the frame's real pair count; see
     _blend_tiles_pallas.
-    opacity_cull (pallas only): exact opacity-aware tile culling in binning.
+    opacity_cull (BOTH backends — it acts in the shared binning stage, so
+    toggling it changes XLA-path binning too, not just pallas):
+    exact opacity-aware tile culling in binning.
     MEASURED at bench scale (1080p/200k/m=3, small mostly-opaque splats):
     costs +4.0 ms/frame — the per-pair rect-distance math outweighs the
     culled blend work. Off by default; worth enabling for scenes with large

@@ -339,9 +339,11 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
     dt = time.perf_counter() - t0
     vps = done / dt if dt > 0 else float("inf")
     if int(overflow_max) > 0:
-        print(f"[WARN] dual-bin big-voxel budget overflow: up to "
-              f"{int(overflow_max)} voxels/view truncated to 2x2-tile "
-              f"coverage — raise LiftConfig.splat_big_budget")
+        print(f"[WARN] lift coverage overflow: up to {int(overflow_max)} "
+              f"truncated slots/view (big-voxel budget and/or per-tile "
+              f"K cap) — raise LiftConfig.splat_big_budget / "
+              f"splat_max_per_tile; pixels past the cap lift the wrong "
+              f"voxel silently otherwise")
     print(f"[INFO] lifted {done} views in {dt:.2f}s = {vps:.2f} views/s")
     return {"sums": sums, "counts": counts, "grid": grid, "views_per_sec": vps,
             "artifact": artifact}

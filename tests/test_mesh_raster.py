@@ -78,7 +78,7 @@ def test_two_triangles_match_oracle():
     verts, faces, labels, vm, fx, fy, cx, cy, W, H = _two_triangle_scene()
     want_lab, want_d = oracle_mesh_labels(verts, faces, labels, vm,
                                           fx, fy, cx, cy, W, H)
-    got_lab, got_d = rasterize_mesh_labels(
+    got_lab, got_d, _of = rasterize_mesh_labels(
         jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(labels),
         jnp.asarray(vm), fx, fy, cx, cy, W, H,
         max_tiles_per_axis=4, max_per_tile=64, tile_chunk=2)
@@ -102,11 +102,11 @@ def test_chunked_matches_single_shot(rng):
     vm = np.eye(4, dtype=np.float32)
     W = H = 24
     f = 14.0
-    one_lab, one_d = rasterize_mesh_labels(
+    one_lab, one_d, _of1 = rasterize_mesh_labels(
         jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(labels),
         jnp.asarray(vm), f, f, W / 2, H / 2, W, H,
         max_tiles_per_axis=4, max_per_tile=64, tile_chunk=2)
-    ch_lab, ch_d = rasterize_mesh_labels_chunked(
+    ch_lab, ch_d, _of2 = rasterize_mesh_labels_chunked(
         jnp.asarray(verts), faces, labels, jnp.asarray(vm),
         f, f, W / 2, H / 2, W, H, face_chunk=4,
         max_tiles_per_axis=4, max_per_tile=64, tile_chunk=2)

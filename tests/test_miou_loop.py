@@ -37,7 +37,7 @@ def test_gaussian_semantics_match_mesh_gt_miou():
     faces = np.concatenate([fA, fB + 4])
     face_labels = np.array([1, 1, 2, 2], np.int32)
 
-    gt, _depth = rasterize_mesh_labels(
+    gt, _depth, _of = rasterize_mesh_labels(
         jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(face_labels),
         vm, fx, fy, cx, cy, W, H, max_tiles_per_axis=6, max_per_tile=64,
         tile_chunk=5)
