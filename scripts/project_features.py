@@ -63,7 +63,9 @@ def main(argv=None):
                 W, H)
         else:
             steps = default_max_steps(W, H, float(intr[v][0]), float(intr[v][1]),
-                                      args.depth_min, args.depth_max, inc)
+                                      args.depth_min, args.depth_max, inc,
+                                      cx=float(intr[v][2]),
+                                      cy=float(intr[v][3]))
             hits = first_hit_voxels(
                 jnp.asarray(occ), jnp.asarray(c2ws[v]), jnp.asarray(intr[v]),
                 jnp.asarray(origin), jnp.asarray(vs, jnp.float32),

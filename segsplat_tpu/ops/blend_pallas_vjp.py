@@ -22,7 +22,12 @@ autodiff outside the kernel.
 Gradient caveats (all shared with the CUDA reference): the binning structure
 (which Gaussians land in which tile, depth order, the K cap) is
 piecewise-constant and carries no gradient; pairs beyond the per-tile K cap
-contribute zero gradient.
+contribute zero gradient. Additionally, the FORWARD skips whole blocks once
+a tile's max transmittance drops below _SAT_EPS (1e-4) while the backward
+recomputes all blocks: pairs behind a saturated block receive the gradient
+of the exact (no-early-exit) compositing rather than exactly zero — a
+|T|≤1e-4-bounded forward/backward inconsistency, arguably closer to the
+true math gradient than zeroing would be.
 """
 
 from __future__ import annotations

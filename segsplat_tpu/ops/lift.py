@@ -152,9 +152,16 @@ def scatter_predictions(preds_2d: jax.Array,   # [H,W] int32
     return jax.ops.segment_max(vals, ids, num_segments=num_ids)
 
 
-def default_max_steps(width, height, fx, fy, depth_min, depth_max, ray_increment) -> int:
-    """Static bound on ray-march steps: worst-case depth_to_ray over the image."""
-    corner = np.sqrt(((width / 2) / fx) ** 2 + ((height / 2) / fy) ** 2 + 1.0)
+def default_max_steps(width, height, fx, fy, depth_min, depth_max,
+                      ray_increment, cx=None, cy=None) -> int:
+    """Static bound on ray-march steps: worst-case depth_to_ray over the
+    image. Pass cx/cy for off-center principal points — the farthest image
+    corner is then max(c, W-1-c) pixels out, not W/2; an underestimated
+    bound makes edge rays stop short of depth_max and report misses."""
+    dx = max(float(cx), width - 1 - float(cx)) if cx is not None else width / 2
+    dy = (max(float(cy), height - 1 - float(cy)) if cy is not None
+          else height / 2)
+    corner = np.sqrt((dx / fx) ** 2 + (dy / fy) ** 2 + 1.0)
     return int(np.ceil((depth_max - depth_min) * corner / ray_increment)) + 2
 
 
@@ -172,7 +179,10 @@ def lift_view(features_2d, occupancy, c2w, intrinsics, grid_origin, voxel_size,
     if ray_increment is None:
         ray_increment = float(voxel_size) * 0.5
     if max_steps is None:
-        max_steps = default_max_steps(W, H, fx, fy, depth_min, depth_max, ray_increment)
+        max_steps = default_max_steps(W, H, fx, fy, depth_min, depth_max,
+                                      ray_increment,
+                                      cx=float(intrinsics[2]),
+                                      cy=float(intrinsics[3]))
     hits = first_hit_voxels(occupancy, jnp.asarray(c2w, jnp.float32),
                             jnp.asarray(intrinsics, jnp.float32),
                             jnp.asarray(grid_origin, jnp.float32),

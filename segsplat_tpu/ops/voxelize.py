@@ -27,9 +27,20 @@ from segsplat_tpu.core.types import VoxelGrid
 
 
 def pack_coords(coords: jax.Array, shape_xyz) -> jax.Array:
-    """[V,3] int (x,y,z) → int64 linear key  z*Y*X + y*X + x (matches the dense
-    occupancy layout, build_sparse_occupancy.py:44-46)."""
+    """[V,3] int (x,y,z) → linear key  z*Y*X + y*X + x (matches the dense
+    occupancy layout, build_sparse_occupancy.py:44-46).
+
+    NOTE: with JAX x64 disabled (this project's default) int64 silently
+    demotes to int32, so keys wrap for grids with Z·Y·X ≥ 2³¹ and distinct
+    voxels would collide — guarded here at trace time (grids that large are
+    far beyond the production 0.04 m officescene scale anyway)."""
     X, Y = int(shape_xyz[0]), int(shape_xyz[1])
+    Z = int(shape_xyz[2]) if len(shape_xyz) > 2 else 1
+    if Z * Y * X >= 2 ** 31:
+        raise ValueError(
+            f"grid {X}x{Y}x{Z} has {Z * Y * X} cells >= 2^31: linear keys "
+            f"would overflow int32 (JAX x64 is disabled) — raise voxel_size "
+            f"or enable jax_enable_x64")
     c = coords.astype(jnp.int64)
     return c[:, 2] * (Y * X) + c[:, 1] * X + c[:, 0]
 
@@ -63,11 +74,15 @@ def voxelize_points(points: np.ndarray, voxel_size: float,
     feats = None
     if features is not None:
         features = np.asarray(features)
-        counts = np.bincount(inverse, minlength=len(uniq)).astype(features.dtype)
-        feats = np.zeros((len(uniq),) + features.shape[1:], features.dtype)
-        np.add.at(feats, inverse, features)
+        # accumulate in float64 regardless of input dtype: fp16 partial sums
+        # round at spacing 4 above 4096 and fp16 counts cap at 2048 exactly,
+        # biasing crowded-voxel means — cast back once at the end
+        counts = np.bincount(inverse, minlength=len(uniq)).astype(np.float64)
+        feats = np.zeros((len(uniq),) + features.shape[1:], np.float64)
+        np.add.at(feats, inverse, features.astype(np.float64))
         if reduction == "mean":
             feats = feats / np.maximum(counts, 1)[:, None]
+        feats = feats.astype(features.dtype)
     shape_zyx = tuple(int(s) for s in (uniq.max(axis=0) + 1)[::-1]) if len(uniq) else (0, 0, 0)
     return VoxelGrid(
         coords=jnp.asarray(uniq, jnp.int32),

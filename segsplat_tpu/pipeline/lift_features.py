@@ -210,8 +210,18 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
               f"intrinsics must describe THIS grid for rays to align")
 
     inc = float(vs) * cfg.ray_increment_factor
-    fx = float(np.median(intr[:, 0])) if len(intr) else 1.0
-    steps = default_max_steps(W, H, fx, fx, cfg.depth_min, cfg.depth_max, inc)
+    # conservative static step budget over ALL views: the smallest focals
+    # spread rays widest, and the farthest principal-point deviation sets
+    # the longest corner ray (median-fx-for-both-axes underestimated both,
+    # silently dropping far edge-pixel hits on anisotropic intrinsics)
+    fx_min = float(np.min(intr[:, 0])) if len(intr) else 1.0
+    fy_min = float(np.min(intr[:, 1])) if len(intr) else 1.0
+    cx_w = float(np.max(np.maximum(intr[:, 2], W - 1 - intr[:, 2]))) \
+        if len(intr) else None
+    cy_w = float(np.max(np.maximum(intr[:, 3], H - 1 - intr[:, 3]))) \
+        if len(intr) else None
+    steps = default_max_steps(W, H, fx_min, fy_min, cfg.depth_min,
+                              cfg.depth_max, inc, cx=cx_w, cy=cy_w)
 
     def one(carry, view):
         s, c, of = carry
