@@ -92,6 +92,8 @@ def save_label_map(path: str, label_indices: np.ndarray) -> None:
 
 def load_label_map(path: str) -> np.ndarray:
     if path.endswith(".pt"):
+        if not _HAS_TORCH:
+            raise RuntimeError(f"torch unavailable: cannot load {path}")
         d = torch.load(path, map_location="cpu", weights_only=False)
         return d["label_indices"].numpy()
     return np.load(path)
@@ -109,6 +111,8 @@ def load_codebook(path: str) -> np.ndarray:
     437) or the 1×1-Conv2d weight layout [256,16,1,1] it was reshaped from."""
     if path.endswith(".npz"):
         return np.load(path)["code_book"].astype(np.float32)
+    if not _HAS_TORCH:
+        raise RuntimeError(f"torch unavailable: cannot load {path}")
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict):           # state_dict-style {'weight': ...}
         obj = next(iter(obj.values()))

@@ -84,14 +84,20 @@ class TextTower:
     def __init__(self, params: Optional[Dict[str, Any]] = None,
                  config: Optional[dict] = None, seed: int = 0):
         self.model = ClipTextEncoder(**(config or {}))
+        self.random_init = params is None   # no converted weights: embeddings
+        #                                     are NOT semantically meaningful
         if params is None:
             rng = jax.random.PRNGKey(seed)
             dummy = jnp.zeros((1, CONTEXT_LENGTH), jnp.int32)
             params = self.model.init(rng, dummy)["params"]
             self.logit_scale = jnp.asarray(np.exp(np.log(1 / 0.07)), jnp.float32)
         else:
-            self.logit_scale = params.pop("__logit_scale__",
-                                          jnp.asarray(np.exp(np.log(1 / 0.07))))
+            self.logit_scale = jnp.asarray(
+                params.get("__logit_scale__", np.exp(np.log(1 / 0.07))))
+            # keep the caller's dict intact (a second tower from the same
+            # converted checkpoint must still see the scale)
+            params = {k: v for k, v in params.items()
+                      if k != "__logit_scale__"}
         self.params = params
         self._encode = jax.jit(lambda p, t: self.model.apply({"params": p}, t))
 
@@ -99,6 +105,14 @@ class TextTower:
         """[P,77] → [P,D] L2-normalized text embeddings."""
         emb = self._encode(self.params, jnp.asarray(tokens))
         return emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-12)
+
+    def encode_prompts(self, prompts, tokenizer=None) -> np.ndarray:
+        """Prompt strings → [P,D] normalized embeddings (tokenize + encode)
+        — the interface pipeline/query's ``text_model`` expects."""
+        if tokenizer is None:
+            from segsplat_tpu.models.tokenizer import get_tokenizer
+            tokenizer = get_tokenizer()
+        return np.asarray(self.encode(tokenizer(list(prompts))))
 
 
 def project_features_to_labels(features: jax.Array, text_emb: jax.Array,

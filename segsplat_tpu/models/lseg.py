@@ -215,9 +215,13 @@ class LSegModel:
             dummy = jnp.zeros((1, 2 * self.net.patch, 2 * self.net.patch, 3))
             params = self.net.init(rng, dummy)["params"]
         else:
-            ls = params.pop("__logit_scale__", None)
+            ls = params.get("__logit_scale__")
             if ls is not None:
                 self.logit_scale = jnp.asarray(ls)
+            # don't mutate the caller's dict: a second model built from the
+            # same converted checkpoint would silently lose the scale
+            params = {k: v for k, v in params.items()
+                      if k != "__logit_scale__"}
         self.params = params
         self._apply = jax.jit(lambda p, x: self.net.apply({"params": p}, x))
 
@@ -333,6 +337,9 @@ def convert_lseg_checkpoint(state_dict, heads: Optional[int] = None) -> Dict[str
     p["head"] = {"kernel": conv(sd["scratch.head1.weight"]),
                  "bias": sd["scratch.head1.bias"]}
     if "logit_scale" in sd:
-        p["__logit_scale__"] = np.exp(sd["logit_scale"]) if sd["logit_scale"].ndim == 0 \
-            else sd["logit_scale"]
+        # checkpoints store LOG scale; exp regardless of a stray (1,) shape
+        # (a shape-gated exp left re-saved unsqueezed scales in log space:
+        # ~2.66 instead of ~14.29, shrinking every similarity logit ~5.4x)
+        ls = np.asarray(sd["logit_scale"], np.float32)
+        p["__logit_scale__"] = np.exp(ls.reshape(()) if ls.size == 1 else ls)
     return p

@@ -19,6 +19,7 @@ import functools
 import gzip
 import html
 import os
+import re
 from typing import List, Optional
 
 import numpy as np
@@ -47,21 +48,23 @@ def _basic_clean(text: str) -> str:
     return html.unescape(html.unescape(text)).strip().lower()
 
 
+# CLIP SimpleTokenizer's pre-split regex, transcribed from the `regex`
+# module's \p classes to stdlib re: contraction suffixes are their own
+# tokens, letter RUNS stay whole, digits split ONE PER TOKEN, and
+# punctuation (incl. underscore) groups into runs. A simplified isalnum
+# walker used here previously glued contractions ("it's") and kept digit
+# runs whole ("25cm") — different token ids than clip.tokenize, which
+# silently breaks parity with real converted CLIP weights.
+# (Known benign divergence: rare non-decimal numerics like '½' classify as
+# letters here but \p{N} in CLIP.)
+_PAT = re.compile(
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
+    re.IGNORECASE)
+
+
 def _word_split(text: str) -> List[str]:
-    # simplified version of CLIP's regex split: words and punctuation runs
-    out, cur = [], ""
-    for ch in text:
-        if ch.isalnum() or ch == "'":
-            cur += ch
-        else:
-            if cur:
-                out.append(cur)
-                cur = ""
-            if not ch.isspace():
-                out.append(ch)
-    if cur:
-        out.append(cur)
-    return out
+    return _PAT.findall(text)
 
 
 class ClipTokenizer:

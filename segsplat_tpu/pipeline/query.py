@@ -77,8 +77,13 @@ def query(voxel_features_path: str, map_path: str, gaussians_path: str,
 
     from segsplat_tpu.models.clip_text import project_features_to_labels
 
+    from segsplat_tpu.pipeline.lift_features import _device_put_bounded
+
     vox = load_voxel_features(voxel_features_path)
-    feats = jnp.asarray(vox["feat"], jnp.float32)               # [V, 512]
+    # bounded transfer: a reference-scale table (~900k×512 f32 ≈ 1.8 GB) in
+    # one device_put would kill the tunnel relay (CLAUDE.md, ≤128 MiB rule)
+    feats = _device_put_bounded(
+        np.asarray(vox["feat"], np.float32))                    # [V, 512]
 
     text_emb = _encode_prompts(prompts, text_model, feats.shape[-1])
     logits = np.asarray(project_features_to_labels(
@@ -86,12 +91,12 @@ def query(voxel_features_path: str, map_path: str, gaussians_path: str,
     voxel_cls = logits.argmax(axis=1).astype(np.int64)
 
     g2v = np.load(map_path)
-    mu = load_gaussian_centers(gaussians_path)
     g_labels = voxel_cls[g2v]
     g_logits = logits[g2v]
 
     save_semantics(out_path, labels=g_labels, logits=g_logits, prompts=prompts)
     if save_ply:
+        mu = load_gaussian_centers(gaussians_path)   # only the PLY needs it
         pal = bit_shuffle_palette(max(len(prompts), 1))
         base = os.path.splitext(out_path)[0]
         write_voxel_grid_ply(base + "_gaussians.ply", mu, pal[g_labels],
@@ -111,8 +116,10 @@ def query_voxels(voxel_features_path: str, prompts: Sequence[str],
 
     from segsplat_tpu.models.clip_text import project_features_to_labels
 
+    from segsplat_tpu.pipeline.lift_features import _device_put_bounded
+
     vox = load_voxel_features(voxel_features_path)
-    feats = jnp.asarray(vox["feat"], jnp.float32)
+    feats = _device_put_bounded(np.asarray(vox["feat"], np.float32))
     text_emb = _encode_prompts(prompts, text_model, feats.shape[-1])
     logits = np.asarray(project_features_to_labels(
         feats, jnp.asarray(text_emb, jnp.float32), logit_scale))
@@ -135,8 +142,15 @@ def _encode_prompts(prompts: Sequence[str], text_model, feat_dim: int):
     from segsplat_tpu.models.tokenizer import get_tokenizer
 
     try:
+        from segsplat_tpu.models.tokenizer import HashTokenizer
         tower = TextTower()
         tok = get_tokenizer()
+        # TextTower() without params RANDOM-initializes and get_tokenizer
+        # silently hash-falls-back — both "succeed" while producing
+        # meaningless embeddings; route to the loudly-warned fallback
+        if tower.random_init or isinstance(tok, HashTokenizer):
+            raise ValueError("no converted CLIP text weights / BPE merges "
+                             "available")
         emb = np.asarray(tower.encode(tok(list(prompts))))
         if emb.shape[-1] != feat_dim:
             raise ValueError(f"text dim {emb.shape[-1]} != feature dim {feat_dim}")
@@ -194,5 +208,6 @@ def text_query_mask(feature_map: np.ndarray, prompt: str,
         return jax.nn.sigmoid(logits[..., 0]
                               - jnp.max(logits[..., 1:], axis=-1))
 
-    rel = np.asarray(relevancy(jnp.asarray(f), jnp.asarray(emb)))
+    from segsplat_tpu.pipeline.lift_features import _device_put_bounded
+    rel = np.asarray(relevancy(_device_put_bounded(f), jnp.asarray(emb)))
     return rel > threshold

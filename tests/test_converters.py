@@ -276,3 +276,31 @@ def test_clip_tokenizer_bpe_branch(tmp_path):
     assert (arr[0, 4:] == 0).all()
     # case/whitespace normalization matches CLIP's basic_clean+lower
     assert tok.encode("  HeLLo ") == tok.encode("hello")
+
+
+def test_word_split_matches_clip_regex():
+    """The stdlib transcription of CLIP's pre-split regex must agree with the
+    GENUINE pattern (openai/CLIP simple_tokenizer.py, run via the `regex`
+    module that ships as a transformers dependency) — contractions split off,
+    digit runs one-per-token, punctuation runs grouped. A glued isalnum
+    walker here previously produced different token ids than clip.tokenize."""
+    import pytest
+    regex = pytest.importorskip("regex")
+
+    from segsplat_tpu.models.tokenizer import _basic_clean, _word_split
+
+    pat = regex.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"""
+        r"""|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""", regex.IGNORECASE)
+    cases = [
+        "it's a 25cm chair", "hello, world!!", "semi-transparent vase (blue)",
+        "a_b__c", "don't won't it'll we're i'm you've he'd", "3dgs @ 1080p",
+        "ünïcödé tëst", "price: $1,234.56", "  HeLLo   WOW  ", "a" * 80, "",
+        "<|startoftext|>chair<|endoftext|>",
+    ]
+    for t in cases:
+        t = _basic_clean(t)
+        assert _word_split(t) == pat.findall(t), t
+    # the load-bearing example: digits one-per-token, contraction split
+    assert _word_split("it's a 25cm chair") == \
+        ["it", "'s", "a", "2", "5", "cm", "chair"]
