@@ -80,34 +80,54 @@ def read_intrinsics_binary(path: str) -> Dict[int, ColmapCamera]:
 
 
 def read_points3D_binary(path: str):
-    """Returns (xyz [P,3] f64, rgb [P,3] u8, errors [P] f64)."""
+    """Returns (xyz [P,3] f64, rgb [P,3] u8, errors [P] f64).
+
+    One read of the whole file + unpack_from offset walking — per-point
+    f.read/seek syscalls cost seconds of pure-Python loop for ~1M points on
+    this single-core host (variable-length track lists prevent one
+    frombuffer, but the hot path is the syscalls, not the offset walk)."""
     with open(path, "rb") as f:
-        num = _read(f, 8, "Q")[0]
-        xyz = np.empty((num, 3))
-        rgb = np.empty((num, 3), np.uint8)
-        err = np.empty(num)
-        for i in range(num):
-            props = _read(f, 43, "QdddBBBd")
-            xyz[i] = props[1:4]
-            rgb[i] = props[4:7]
-            err[i] = props[7]
-            track_len = _read(f, 8, "Q")[0]
-            f.seek(8 * track_len, 1)
+        buf = f.read()
+    num = struct.unpack_from("<Q", buf, 0)[0]
+    xyz = np.empty((num, 3))
+    rgb = np.empty((num, 3), np.uint8)
+    err = np.empty(num)
+    off = 8
+    unpack = struct.Struct("<QdddBBBd").unpack_from
+    tlen = struct.Struct("<Q").unpack_from
+    for i in range(num):
+        props = unpack(buf, off)
+        off += 43
+        xyz[i] = props[1:4]
+        rgb[i] = props[4:7]
+        err[i] = props[7]
+        off += 8 + 8 * tlen(buf, off)[0]
     return xyz, rgb, err
 
 
 def read_extrinsics_text(path: str) -> Dict[int, ColmapImage]:
+    # keep EMPTY lines: COLMAP writes an empty POINTS2D line for an image
+    # with zero points, and it is the pair-structure that aligns headers —
+    # dropping blanks before pairing consumed the NEXT image's header as the
+    # previous image's points line
     images = {}
     with open(path) as f:
-        lines = [ln.strip() for ln in f if ln.strip() and not ln.startswith("#")]
-    for i in range(0, len(lines), 2):
+        lines = [ln.strip() for ln in f if not ln.startswith("#")]
+    i = 0
+    while i < len(lines):
+        if not lines[i]:                    # blank between pairs / at EOF
+            i += 1
+            continue
         el = lines[i].split()
         image_id = int(el[0])
         qvec = np.array(el[1:5], np.float64)
         tvec = np.array(el[5:8], np.float64)
         camera_id = int(el[8])
         name = el[9]
+        # the IMMEDIATE next line is this image's POINTS2D row, even when
+        # empty (zero points) — it must be consumed, not skipped
         el2 = lines[i + 1].split() if i + 1 < len(lines) else []
+        i += 2
         pts = np.array(el2, np.float64).reshape(-1, 3) if el2 else np.zeros((0, 3))
         images[image_id] = ColmapImage(
             id=image_id, qvec=qvec, tvec=tvec, camera_id=camera_id, name=name,

@@ -114,6 +114,9 @@ def read_ply(path: str) -> PlyContent:
         text = body.decode("ascii")
         rows_needed = sum(n for _, n, _ in elements)
         all_rows = text.split("\n")
+        if sum(1 for r in all_rows if r.strip()) < rows_needed:
+            raise ValueError(f"{path}: truncated ascii PLY body "
+                             f"(need {rows_needed} rows)")
         row_i = 0
         for name, count, props in elements:
             if any(t.startswith("LIST") for _, t in props):
@@ -226,8 +229,10 @@ def write_voxel_grid_ply(path: str, centers: np.ndarray, colors: np.ndarray,
 def read_voxel_grid_ply(path: str):
     """Returns (centers [V,3] f32, colors [V,3] u8 or None, voxel_size, origin, shape).
 
-    voxel_size falls back to the minimum nonzero nearest-neighbor spacing if absent,
-    mirroring the tolerant header parsing in aggregate_voxel_features_onthefly.py:65-99.
+    voxel_size/origin/shape are None when the PLY lacks the header comments
+    (aggregate_voxel_features_onthefly.py:65-99 parses the same dialect) —
+    callers must guard (lift_features and build_sparse_occupancy raise an
+    actionable error; there is NO inferred-spacing fallback here).
     """
     c = read_ply(path)
     centers = c.xyz().astype(np.float32)

@@ -8,8 +8,10 @@ multi-view aggregation is one SPMD program:
     slice of views against a replicated occupancy grid, accumulating into a local
     HBM-resident [num_ids, C] table via deterministic segment_sum),
   * feature channels are optionally sharded across the ``tensor`` axis (512-D LSeg
-    features split into per-chip channel slices — the ray-march hit ids are computed
-    once per view and reused for every channel slice),
+    features split into per-chip channel slices). NOTE each tensor chip
+    re-runs the ray march for its channel slice — total march FLOPs scale
+    with n_tensor, so the tensor axis shrinks the per-chip accumulator and
+    feature bandwidth but NOT the hit computation; size meshes accordingly,
   * a single ``psum`` over the view axis merges the per-chip voxel tables over ICI.
 
 Per-chip accumulation order is fixed by lax.scan and segment_sum, and psum has a

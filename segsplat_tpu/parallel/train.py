@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from segsplat_tpu.core.types import Camera, GaussianTable
 from segsplat_tpu.parallel.mesh import TENSOR_AXIS, VIEW_AXIS, replicated, view_sharding
-from segsplat_tpu.train.densify import add_stats
+from segsplat_tpu.train.densify import DensifyStats
 from segsplat_tpu.train.trainer import (OptimizationConfig, TrainState,
                                         compute_losses, table_params, with_params)
 
@@ -104,11 +104,23 @@ def make_parallel_train_step(cfg: OptimizationConfig, optimizers, mesh: Mesh,
                                                    state.code_book)
         new_cb = optax.apply_updates(state.code_book, cb_updates)
 
-        # per-view screenspace grads arrive summed over the batch by autodiff;
-        # visibility/radii reduce with any/max across views
-        visible = jnp.any(aux["visible"], axis=0)
+        # densify stats: the loss is a MEAN over the view batch, so autodiff
+        # hands us (1/B)·Σ_v g_v — undo the mean so a Gaussian visible in one
+        # of B views keeps its full per-view screengrad (the reference
+        # accumulates one view per iteration; averaging under-triggered
+        # densification by up to B×). The denominator counts per-view
+        # visibility like B reference iterations would. Remaining
+        # approximation: ‖Σ_v g_v‖ ≤ Σ_v ‖g_v‖ (direction cancellation
+        # across views); exact for single-view visibility and B=1.
+        B = gt_images.shape[0]
+        vis_count = jnp.sum(aux["visible"].astype(jnp.float32), axis=0)
+        visible = vis_count > 0
         radii = jnp.max(aux["radii"], axis=0)
-        stats = add_stats(state.stats, g_off, visible, radii)
+        g = jnp.linalg.norm((g_off * B)[:, :2], axis=-1)
+        stats = DensifyStats(
+            grad_accum=state.stats.grad_accum + g * visible,
+            denom=state.stats.denom + vis_count,
+            max_radii=jnp.maximum(state.stats.max_radii, radii * visible))
         new_state = TrainState(
             table=with_params(state.table, new_params),
             opt_state=opt_state, code_book=new_cb, cls_opt_state=cls_opt_state,

@@ -72,6 +72,12 @@ class Scene:
             if load_iteration == -1:
                 self.loaded_iter = search_for_max_iteration(
                     os.path.join(model_path, "point_cloud"))
+                if self.loaded_iter is None:
+                    # silently re-initializing here would hand eval/render a
+                    # random-init table that LOOKS like a trained model
+                    raise FileNotFoundError(
+                        f"load_iteration=-1 but no point_cloud/iteration_* "
+                        f"checkpoints under {model_path}")
             else:
                 self.loaded_iter = load_iteration
             print(f"Loading trained model at iteration {self.loaded_iter}")

@@ -89,58 +89,35 @@ def _tiny_cam(i, V, H=32, W=32):
                   width=W, height=H)
 
 
-def test_parallel_train_step_runs_and_matches_dp_semantics(rng):
-    """One sharded multi-view step must run on the 4x2 mesh and produce finite
-    losses + updated params."""
-    table, cfg, state, opts = _tiny_train_setup(rng)
-    mesh = make_mesh(n_view=4, n_tensor=2)
-    raster_kw = dict(max_tiles_per_axis=4, max_per_tile=96, tile_chunk=4)
-    step = make_parallel_train_step(cfg, opts, mesh, raster_kw)
+def _run_step_worker(mode: str):
+    """Meshed train-step tests run in a SUBPROCESS: building a meshed
+    parallel step alongside the suite's other jitted train programs trips
+    the CPU-backend lifted-constant/buffer-aliasing quirk ("supplied 47
+    buffers, expected 48") on a later program's call — see
+    _parallel_step_worker.py (same rationale as _parallel_train_worker)."""
+    import os
+    import subprocess
+    import sys
 
-    V, H, W = 4, 32, 32
-    cams = stack_cameras([_tiny_cam(i, V, H, W) for i in range(V)])
-    gt_img = jnp.asarray(rng.random((V, 3, H, W)), jnp.float32)
-    gt_obj = jnp.asarray(rng.integers(0, 16, (V, H, W)), jnp.int32)
-    bg = jnp.zeros((3,))
-    rngs = jax.random.split(jax.random.PRNGKey(0), V)
-
-    state = step.replicate(state)
-    xyz_before = np.asarray(state.table.xyz).copy()  # state is donated by the step
-    cams, gt_img, gt_obj, rngs = step.place_batch(cams, gt_img, gt_obj, rngs)
-    new_state, metrics = step(state, cams, gt_img, gt_obj, bg, rngs)
-
-    for k, v in metrics.items():
-        assert np.isfinite(float(v)), f"{k} not finite"
-    assert int(new_state.step) == 1
-    assert not np.allclose(np.asarray(new_state.table.xyz), xyz_before)
+    worker = os.path.join(os.path.dirname(__file__),
+                          "_parallel_step_worker.py")
+    r = subprocess.run([sys.executable, worker, mode], capture_output=True,
+                       text=True, timeout=600,
+                       cwd=os.path.dirname(__file__))
+    assert r.returncode == 0 and "WORKER_OK" in r.stdout, (
+        f"{mode} worker failed\nstdout:{r.stdout}\nstderr:{r.stderr[-2000:]}")
 
 
-def test_single_view_parallel_step_close_to_serial(rng):
-    """A 1-view batch through the parallel step (1x1 mesh) must match the serial
-    train step bit-for-bit up to reduction reordering."""
-    table, cfg, state, opts = _tiny_train_setup(rng)
-    raster_kw = dict(max_tiles_per_axis=4, max_per_tile=96, tile_chunk=4)
-    serial = make_train_step(cfg, opts, raster_kw)
+def test_parallel_train_step_runs_and_matches_dp_semantics():
+    """One sharded multi-view step on the 4x2 mesh: finite losses + updated
+    params (body in _parallel_step_worker.dp_semantics)."""
+    _run_step_worker("dp_semantics")
 
-    H = W = 32
-    cam = _tiny_cam(0, 4, H, W)
-    gt_img = jnp.asarray(rng.random((3, H, W)), jnp.float32)
-    gt_obj = jnp.asarray(rng.integers(0, 16, (H, W)), jnp.int32)
-    bg = jnp.zeros((3,))
-    key = jax.random.PRNGKey(7)
 
-    s1, m1 = serial(state, cam, gt_img, gt_obj, bg, key)
-
-    mesh = make_mesh(n_view=1, n_tensor=1, devices=jax.devices()[:1])
-    pstep = make_parallel_train_step(cfg, opts, mesh, raster_kw)
-    cams = stack_cameras([cam])
-    s2, m2 = pstep(state, cams, gt_img[None], gt_obj[None], bg, key[None])
-
-    for k in m1:
-        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-4,
-                                   atol=1e-5, err_msg=k)
-    np.testing.assert_allclose(np.asarray(s1.table.xyz), np.asarray(s2.table.xyz),
-                               rtol=1e-4, atol=1e-6)
+def test_single_view_parallel_step_close_to_serial():
+    """1-view batch through the parallel step (1x1 mesh) == serial step up to
+    reduction reordering (body in _parallel_step_worker.serial_equivalence)."""
+    _run_step_worker("serial_equivalence")
 
 
 def test_rasterize_sharded_matches_single_device(rng):
