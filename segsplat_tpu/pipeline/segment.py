@@ -157,18 +157,27 @@ def _merge_regions(labels: np.ndarray, image: np.ndarray,
     roots = np.array([find(i) for i in range(K)])
     merged = roots[labels]
 
-    # absorb tiny regions into their most-similar neighbor
+    # absorb tiny regions into their most-similar neighbor; two merged small
+    # regions can still be under min_pixels, so track the pooled size (cnt
+    # follows roots through union) and loop until no sub-threshold region
+    # has an edge left to absorb along
     sizes = np.bincount(merged.reshape(-1), minlength=K)
     small = set(np.nonzero((sizes > 0) & (sizes < cfg.min_pixels))[0].tolist())
-    if small:
+    changed = bool(small)
+    while changed and small:
+        changed = False
         for u, v in edges:
             ru, rv = find(u), find(v)
             if ru != rv and (ru in small or rv in small):
                 union(ru, rv)
-                small.discard(ru)
-                small.discard(rv)
-        roots = np.array([find(i) for i in range(K)])
-        merged = roots[labels]
+                small.discard(rv)                # rv is no longer a root
+                if cnt[ru] >= cfg.min_pixels:
+                    small.discard(ru)
+                else:
+                    small.add(ru)
+                changed = True
+    roots = np.array([find(i) for i in range(K)])
+    merged = roots[labels]
 
     # compact to 1..N (0 reserved for background by convention)
     uniq = np.unique(merged)

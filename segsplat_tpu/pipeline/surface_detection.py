@@ -56,7 +56,8 @@ class SurfaceDetector:
 
     def estimate_normals(self, xyz: np.ndarray) -> np.ndarray:
         """Smallest-eigenvector PCA normals over k-neighborhoods (the Open3D
-        estimate_normals equivalent, :156-227), oriented toward the centroid."""
+        estimate_normals equivalent, :156-227), oriented consistently AWAY
+        from the cloud centroid (outward for a roughly convex scene)."""
         tree = cKDTree(xyz)
         k = min(self.normal_k + 1, len(xyz))
         _, idx = tree.query(xyz, k=k)
@@ -75,22 +76,30 @@ class SurfaceDetector:
                         scales: Optional[np.ndarray] = None) -> dict:
         """Full pipeline: prefilter → density percentile cut → DBSCAN keep
         clustered points → normals (:156-227). Returns dict with points,
-        normals, mask (into the input), and the intermediate scores."""
+        normals, mask (into the input), and the intermediate scores — BOTH
+        scores are scattered to full input length (0 where not computed) so
+        they index-align with ``xyz`` and ``mask``."""
+        n = len(xyz)
         mask = self.prefilter(xyz, opacity, scales)
         pts = xyz[mask]
+        density = np.zeros(n, np.float64)
+        concentration = np.zeros(n, np.float64)
         if len(pts) < max(self.density_k + 1, self.dbscan_min_samples):
             return dict(points=pts, normals=np.zeros_like(pts),
-                        mask=mask, density=np.zeros(len(pts)),
-                        concentration=np.zeros(len(pts)))
+                        mask=mask, density=density,
+                        concentration=concentration)
         dens = self.density_score(pts)
+        density[mask] = dens
         keep = dens >= np.percentile(dens, self.density_percentile)
         conc, labels = self.concentration_score(pts[keep])
+        concentration[np.flatnonzero(mask)[keep]] = conc
         clustered = labels >= 0
         final_local = np.flatnonzero(mask)[np.flatnonzero(keep)[clustered]]
-        final_mask = np.zeros(len(xyz), bool)
+        final_mask = np.zeros(n, bool)
         final_mask[final_local] = True
         surf = xyz[final_mask]
         normals = (self.estimate_normals(surf) if len(surf) > 3
                    else np.zeros_like(surf, dtype=np.float32))
         return dict(points=surf.astype(np.float32), normals=normals,
-                    mask=final_mask, density=dens, concentration=conc)
+                    mask=final_mask, density=density,
+                    concentration=concentration)

@@ -127,6 +127,9 @@ def render_semantics(table: GaussianTable, camera: Camera, logits: jax.Array,
     return sem
 
 
+_SEM_RUN_CACHE: dict = {}
+
+
 def render_semantics_many(table: GaussianTable, cameras, logits: jax.Array,
                           bg_value: float = 0.0,
                           max_tiles_per_axis: int = 8, max_per_tile: int = 512,
@@ -155,21 +158,33 @@ def render_semantics_many(table: GaussianTable, cameras, logits: jax.Array,
     opac = table.get_opacity()[:, 0] * table.active.astype(payload.dtype)
 
     # table arrays are ARGUMENTS, not jit-closure constants — big closure
-    # constants get shipped to the remote compiler (CLAUDE.md / HTTP 413)
-    @jax.jit
-    def run(xyz, scaling, rotation, op, pay, vms, Ks):
-        def one(c, vk):
-            vm, K = vk
-            out = rasterize(xyz, scaling, rotation, op, pay, vm,
-                            K[0, 0], K[1, 1], K[0, 2], K[1, 2], W, H, bg=bg,
-                            max_tiles_per_axis=max_tiles_per_axis,
-                            max_per_tile=max_per_tile, tile_chunk=tile_chunk,
-                            backend=backend, pair_cap=pair_cap)
-            return c, (jnp.transpose(out["image"], (2, 0, 1)),
-                       out["tile_overflow"],
-                       out.get("num_pairs", jnp.int32(-1)))
-        _, outs = jax.lax.scan(one, jnp.int32(0), (vms, Ks))
-        return outs
+    # constants get shipped to the remote compiler (CLAUDE.md / HTTP 413).
+    # The jitted program is MEMOIZED per config: a fresh @jax.jit closure per
+    # call would recompile (~25 s over the tunnel) and two identical
+    # separately-jitted programs in one process trip the documented
+    # lost-hoisted-constants buffer-count failure (see
+    # trainer.cached_train_step for the same pattern).
+    cfg_key = (W, H, backend, max_tiles_per_axis, max_per_tile, tile_chunk,
+               pair_cap, float(bg_value), str(payload.dtype))
+    run = _SEM_RUN_CACHE.get(cfg_key)
+    if run is None:
+        @jax.jit
+        def run(xyz, scaling, rotation, op, pay, vms, Ks):
+            def one(c, vk):
+                vm, K = vk
+                out = rasterize(xyz, scaling, rotation, op, pay, vm,
+                                K[0, 0], K[1, 1], K[0, 2], K[1, 2], W, H,
+                                bg=bg,
+                                max_tiles_per_axis=max_tiles_per_axis,
+                                max_per_tile=max_per_tile,
+                                tile_chunk=tile_chunk,
+                                backend=backend, pair_cap=pair_cap)
+                return c, (jnp.transpose(out["image"], (2, 0, 1)),
+                           out["tile_overflow"],
+                           out.get("num_pairs", jnp.int32(-1)))
+            _, outs = jax.lax.scan(one, jnp.int32(0), (vms, Ks))
+            return outs
+        _SEM_RUN_CACHE[cfg_key] = run
 
     xyz, sc, rot = table.xyz, table.get_scaling(), table.get_rotation()
     B = max(1, view_batch)

@@ -41,11 +41,6 @@ def l2_loss(pred: jax.Array, gt: jax.Array) -> jax.Array:
     return ((pred - gt) ** 2).mean()
 
 
-def masked_l1_loss(pred, gt, mask):
-    mask = jnp.broadcast_to(mask[None].astype(pred.dtype), gt.shape)
-    return (jnp.abs(pred - gt) * mask).sum() / (mask.sum() + 1e-12)
-
-
 def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     x = jnp.arange(size, dtype=jnp.float32) - size // 2
     g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
