@@ -183,3 +183,59 @@ def test_find_codebook_prefers_npz_falls_back_pth(tmp_path):
     assert artifacts.find_codebook(model, 30000).endswith("classifier.pth")
     np.savez(str(base / "classifier.npz"), code_book=np.zeros((256, 16)))
     assert artifacts.find_codebook(model, 30000).endswith("classifier.npz")
+
+
+def test_extrinsics_text_zero_point_image(tmp_path):
+    """COLMAP writes an EMPTY POINTS2D line for an image with zero points;
+    the pair-structured parser must consume it instead of eating the next
+    image's header (regression: blank-filtering misaligned the parse)."""
+    from segsplat_tpu.io.colmap import read_extrinsics_text
+
+    p = tmp_path / "images.txt"
+    p.write_text("# images.txt\n"
+                 "1 1 0 0 0 0.5 0.5 0.5 1 a.png\n"
+                 "\n"
+                 "2 0 1 0 0 1.5 1.5 1.5 1 b.png\n"
+                 "1.0 2.0 7 3.0 4.0 9\n")
+    ims = read_extrinsics_text(str(p))
+    assert ims[1].name == "a.png" and len(ims[1].point3D_ids) == 0
+    assert ims[2].name == "b.png" and list(ims[2].point3D_ids) == [7, 9]
+    np.testing.assert_allclose(ims[2].tvec, [1.5, 1.5, 1.5])
+
+
+def test_scene_missing_checkpoints_raises(tmp_path):
+    """Scene(load_iteration=-1) with no iteration_* checkpoints must FAIL,
+    not silently re-initialize a random table that looks trained."""
+    import pytest
+
+    from segsplat_tpu.scene import Scene
+
+    with pytest.raises(FileNotFoundError, match="no point_cloud"):
+        Scene(str(tmp_path / "nonexistent_src"), str(tmp_path / "model"),
+              load_iteration=-1)
+
+
+def test_default_max_steps_off_center_principal_point():
+    """An off-center principal point lengthens the worst-case corner ray;
+    the step bound must grow accordingly (regression: centered assumption
+    made edge rays stop short of depth_max and report misses)."""
+    from segsplat_tpu.ops.lift import default_max_steps
+
+    centered = default_max_steps(640, 480, 500.0, 500.0, 0.01, 10.0, 0.02,
+                                 cx=320, cy=240)
+    off = default_max_steps(640, 480, 500.0, 500.0, 0.01, 10.0, 0.02,
+                            cx=500, cy=240)
+    assert off > centered
+    # default (no cx/cy) equals the centered assumption
+    assert default_max_steps(640, 480, 500.0, 500.0, 0.01, 10.0,
+                             0.02) == centered
+
+
+def test_single_prompt_confidence_map():
+    """A 1-prompt query has no runner-up: margin is 1.0, not a partition
+    crash (regression: np.partition kth=-2 on a size-1 axis)."""
+    from segsplat_tpu.pipeline.render_semantics import confidence_from_logits
+
+    c = confidence_from_logits(np.random.default_rng(0).random((1, 6, 7)),
+                               axis=0)
+    assert c.shape == (6, 7) and (c == 1.0).all()
