@@ -9,9 +9,9 @@ The reference quantizes points two ways:
     (cuda_project_image_to_sparse_voxel/build_sparse_occupancy.py:32-53).
 
 CUDA uses hashing + atomics for this; the TPU-native formulation is sort + segment
-reduction: quantize → pack (x,y,z) into one int64 key → sort → unique via adjacent
-difference → ``jax.ops.segment_*`` for per-voxel feature reduction. Fully
-deterministic (no atomics) and MXU/VPU friendly.
+reduction: quantize → pack (x,y,z) into one int32 linear key (grid size guarded
+< 2³¹ cells) → sort → unique via adjacent difference → ``jax.ops.segment_*`` for
+per-voxel feature reduction. Fully deterministic (no atomics) and MXU/VPU friendly.
 """
 
 from __future__ import annotations
@@ -30,18 +30,17 @@ def pack_coords(coords: jax.Array, shape_xyz) -> jax.Array:
     """[V,3] int (x,y,z) → linear key  z*Y*X + y*X + x (matches the dense
     occupancy layout, build_sparse_occupancy.py:44-46).
 
-    NOTE: with JAX x64 disabled (this project's default) int64 silently
-    demotes to int32, so keys wrap for grids with Z·Y·X ≥ 2³¹ and distinct
-    voxels would collide — guarded here at trace time (grids that large are
+    Keys are int32 ON PURPOSE (this project runs with JAX x64 disabled, so an
+    int64 request would silently truncate anyway); the trace-time guard makes
+    grids whose keys would not fit fail loudly instead (grids that large are
     far beyond the production 0.04 m officescene scale anyway)."""
     X, Y = int(shape_xyz[0]), int(shape_xyz[1])
     Z = int(shape_xyz[2]) if len(shape_xyz) > 2 else 1
     if Z * Y * X >= 2 ** 31:
         raise ValueError(
             f"grid {X}x{Y}x{Z} has {Z * Y * X} cells >= 2^31: linear keys "
-            f"would overflow int32 (JAX x64 is disabled) — raise voxel_size "
-            f"or enable jax_enable_x64")
-    c = coords.astype(jnp.int64)
+            f"would overflow int32 — raise voxel_size or shrink the grid")
+    c = coords.astype(jnp.int32)
     return c[:, 2] * (Y * X) + c[:, 1] * X + c[:, 0]
 
 
@@ -156,7 +155,7 @@ def count_by_voxel(voxel_ids: jax.Array, num_voxels: int) -> jax.Array:
 def unique_voxels_jit(coords: jax.Array, capacity: int, shape_xyz):
     """In-jit unique of quantized coords (sorted-key formulation).
 
-    Returns (unique_keys [capacity] int64 padded with -1, inverse [N] int32,
+    Returns (unique_keys [capacity] int32 padded with -1, inverse [N] int32,
     num_unique [] int32). ``capacity`` bounds the voxel count statically.
     """
     keys = pack_coords(coords, shape_xyz)
@@ -165,7 +164,7 @@ def unique_voxels_jit(coords: jax.Array, capacity: int, shape_xyz):
     is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]])
     uidx = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # per-sorted-sample unique index
     num_unique = uidx[-1] + 1
-    uniq = jnp.full((capacity,), -1, jnp.int64)
+    uniq = jnp.full((capacity,), -1, jnp.int32)
     uniq = uniq.at[jnp.where(is_new, uidx, capacity)].set(sk, mode="drop")
     inverse = jnp.zeros_like(uidx).at[order].set(uidx)
     return uniq, inverse.astype(jnp.int32), num_unique

@@ -14,6 +14,7 @@ views stream through one compiled program per resolution.
 from __future__ import annotations
 
 import os
+import warnings
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -58,8 +59,10 @@ def save_confidence_png(path: str, conf: np.ndarray) -> None:
         fig.savefig(os.path.splitext(path)[0] + "_colorbar.png",
                     bbox_inches="tight", dpi=100)
         plt.close(fig)
-    except Exception:
-        pass
+    except ImportError:
+        pass  # matplotlib is optional; the grayscale PNG above always exists
+    except Exception as e:
+        warnings.warn(f"colorbar confidence PNG failed for {path}: {e!r}")
 
 
 def render_semantic_views(table, cameras: Sequence, logits: np.ndarray,
@@ -151,8 +154,10 @@ def _save_legend_png(path: str, labels: np.ndarray, pal: np.ndarray,
                   fontsize=8)
         fig.savefig(path, bbox_inches="tight", dpi=100)
         plt.close(fig)
-    except Exception:
-        pass
+    except ImportError:
+        pass  # matplotlib is optional; labels/mask artifacts always exist
+    except Exception as e:
+        warnings.warn(f"legend PNG failed for {path}: {e!r}")
 
 
 def attach_logits_for_table(table, semantics_path: str) -> np.ndarray:

@@ -111,6 +111,46 @@ def test_render_semantics_cli_and_downstream(trained_scene, tmp_path):
         ags.main(["--semantics", sem_path])
 
 
+def test_gaussian_color_stats_cli(trained_scene, tmp_path):
+    """Both reference micro stats dumps (semantics_stats/gaussian_features_dc_
+    stats.py, gaussian_rgb_stats.py) via the unified --mode CLI."""
+    import contextlib
+    import io
+
+    import gaussian_color_stats as gcs
+
+    model = trained_scene["model"]
+    ply = os.path.join(model, "point_cloud", "iteration_4", "point_cloud.ply")
+
+    # dc mode on a trained gaussian PLY (f_dc_* ladder) + histogram PNGs
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        gcs.main(["--ply", ply, "--mode", "dc", "--bins", "8"])
+    out = buf.getvalue()
+    assert "(features_dc)" in out and "Red channel" in out
+    assert "histogram:" in out and "mean:" in out
+    import glob
+    assert len(glob.glob(ply + "_*_hist.png")) == 3
+
+    # rgb mode on a red/green/blue voxel-grid PLY (0-255 histogram range)
+    from segsplat_tpu.io.ply import write_voxel_grid_ply
+    rng = np.random.default_rng(5)
+    vply = str(tmp_path / "grid.ply")
+    write_voxel_grid_ply(vply, rng.random((50, 3)).astype(np.float32),
+                         rng.integers(0, 256, (50, 3)).astype(np.uint8),
+                         0.05, np.zeros(3, np.float32))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        gcs.main(["--ply", vply, "--mode", "rgb", "--bins", "4"])
+    out = buf.getvalue()
+    assert "R channel" in out and "B channel" in out
+    # histogram range pinned to (0,255): 4 bins sum to all 50 voxels
+    import gaussian_color_stats as g2
+    from segsplat_tpu.io.ply import read_ply
+    stats = g2.color_stats(g2.get_rgb(read_ply(vply)), bins=4, mode="rgb")
+    assert sum(stats["R"]["histogram"]) == 50
+
+
 def test_render_lerf_mask_text_grounded(trained_scene, tmp_path):
     """LERF-mask CLI self-contained from a TEXT query (no --query_mask): text
     → frame-0 LSeg relevancy mask → IoA id selection → per-view test masks."""
