@@ -48,23 +48,54 @@ def _basic_clean(text: str) -> str:
     return html.unescape(html.unescape(text)).strip().lower()
 
 
+@functools.lru_cache()
+def _non_decimal_numerics() -> str:
+    """Character-class body for Unicode categories Nl and No.
+
+    CLIP's pre-split regex uses the `regex` module's \\p{N}, which covers
+    Nd ∪ Nl ∪ No; stdlib ``\\d`` is Nd only, and Python's ``[^\\W\\d_]``
+    letter class would absorb the alnum Nl/No characters ('½', 'Ⅻ', '²')
+    into letter runs — different token ids than clip.tokenize. Enumerated
+    once from unicodedata (~1.1k chars → compressed ranges)."""
+    import unicodedata
+
+    ranges: List[tuple] = []
+    start = prev = None
+    for cp in range(0x110000):
+        if unicodedata.category(chr(cp)) in ("Nl", "No"):
+            if prev is not None and cp == prev + 1:
+                prev = cp
+                continue
+            if start is not None:
+                ranges.append((start, prev))
+            start = prev = cp
+    if start is not None:
+        ranges.append((start, prev))
+    return "".join(
+        re.escape(chr(a)) if a == b
+        else f"{re.escape(chr(a))}-{re.escape(chr(b))}"
+        for a, b in ranges)
+
+
 # CLIP SimpleTokenizer's pre-split regex, transcribed from the `regex`
 # module's \p classes to stdlib re: contraction suffixes are their own
-# tokens, letter RUNS stay whole, digits split ONE PER TOKEN, and
-# punctuation (incl. underscore) groups into runs. A simplified isalnum
-# walker used here previously glued contractions ("it's") and kept digit
-# runs whole ("25cm") — different token ids than clip.tokenize, which
-# silently breaks parity with real converted CLIP weights.
-# (Known benign divergence: rare non-decimal numerics like '½' classify as
-# letters here but \p{N} in CLIP.)
-_PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
-    re.IGNORECASE)
+# tokens, letter RUNS stay whole, numerics (\p{N} = \d plus the Nl/No table
+# above) split ONE PER TOKEN, and punctuation (incl. underscore) groups into
+# runs. A simplified isalnum walker used here previously glued contractions
+# ("it's") and kept digit runs whole ("25cm") — different token ids than
+# clip.tokenize, which silently breaks parity with real converted CLIP
+# weights.
+@functools.lru_cache()
+def _pat() -> "re.Pattern":
+    ex = _non_decimal_numerics()
+    return re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        rf"|[^\W\d_{ex}]+|[\d{ex}]|(?:[^\s\w]|_)+",
+        re.IGNORECASE)
 
 
 def _word_split(text: str) -> List[str]:
-    return _PAT.findall(text)
+    return _pat().findall(text)
 
 
 class ClipTokenizer:

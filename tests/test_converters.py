@@ -297,6 +297,10 @@ def test_word_split_matches_clip_regex():
         "a_b__c", "don't won't it'll we're i'm you've he'd", "3dgs @ 1080p",
         "ünïcödé tëst", "price: $1,234.56", "  HeLLo   WOW  ", "a" * 80, "",
         "<|startoftext|>chair<|endoftext|>",
+        # non-decimal numerics (\p{N} = Nd ∪ Nl ∪ No): previously classified
+        # as letters and glued into runs
+        "½ cup", "chapter Ⅻ section ⅻ", "x² + y³", "a½b 〡〢", "①②③",
+        "\U00010107 aegean one",
     ]
     for t in cases:
         t = _basic_clean(t)
@@ -304,3 +308,27 @@ def test_word_split_matches_clip_regex():
     # the load-bearing example: digits one-per-token, contraction split
     assert _word_split("it's a 25cm chair") == \
         ["it", "'s", "a", "2", "5", "cm", "chair"]
+    # Nl/No numerics split one-per-token and never merge into letter runs
+    assert _word_split("a½b ⅻ²") == ["a", "½", "b", "ⅻ", "²"]
+
+
+def test_word_split_matches_clip_regex_fuzz():
+    """Differential fuzz vs the genuine \\p-class pattern over a mixed
+    alphabet (letters, Nd/Nl/No numerics incl. astral plane, marks,
+    punctuation, contraction suffixes)."""
+    import random
+
+    import pytest
+    regex = pytest.importorskip("regex")
+
+    from segsplat_tpu.models.tokenizer import _word_split
+
+    pat = regex.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"""
+        r"""|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""", regex.IGNORECASE)
+    alpha = "abc xyz 012½¾ⅫⅯ²³〇一_.,!'s't| \t①é中\U00010107̈"
+    rnd = random.Random(0)
+    for _ in range(3000):
+        s = "".join(rnd.choice(alpha)
+                    for _ in range(rnd.randint(1, 30))).lower()
+        assert _word_split(s) == pat.findall(s), repr(s)
