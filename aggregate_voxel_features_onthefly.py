@@ -36,6 +36,9 @@ def main(argv=None):
     p.add_argument("--mesh_view", type=int, default=0,
                    help="shard each view chunk over N devices (0 = all "
                         "available if >1, 1 = force single-device)")
+    p.add_argument("--allow_random_weights", action="store_true",
+                   help="accept a feature dir stamped weights_source=random "
+                        "(taint propagates into the output artifacts)")
     args = p.parse_args(argv)
 
     cfg = LiftConfig(depth_min=args.depth_min, depth_max=args.depth_max,
@@ -58,7 +61,8 @@ def main(argv=None):
                                    args.camera_params, args.out_dir, cfg,
                                    image_size=(tuple(args.image_size)
                                                if args.image_size else None),
-                                   mesh=mesh, first_only=args.first_only)
+                                   mesh=mesh, first_only=args.first_only,
+                                   allow_random_weights=args.allow_random_weights)
     print(f"[DONE] {out['views_per_sec']:.2f} views/s")
 
 

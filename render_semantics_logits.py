@@ -30,6 +30,8 @@ def main(argv=None):
     parser.add_argument("--white_background_sem", action="store_true",
                         help="composite logits on 1s instead of 0s (:250-252)")
     parser.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
+    parser.add_argument("--allow_random_weights", action="store_true",
+                        help="accept semantics tainted weights_source=random")
     parser.add_argument("--max_views", type=int, default=0,
                         help="render only the first N views of each split "
                              "(0 = all; framework extension for bounded "
@@ -40,7 +42,9 @@ def main(argv=None):
     scene = Scene(args.source_path, args.model_path, images=args.images,
                   eval_split=args.eval, shuffle=False,
                   load_iteration=args.iteration)
-    logits = attach_logits_for_table(scene.gaussians, args.semantics)
+    logits = attach_logits_for_table(
+        scene.gaussians, args.semantics,
+        allow_random_weights=args.allow_random_weights)
     prompts = [str(s) for s in load_semantics(args.semantics)["prompts"]]
     bg_value = 1.0 if args.white_background_sem else 0.0
 
@@ -57,6 +61,11 @@ def main(argv=None):
         dcams = [to_device_camera(c, scale) for c in cams]
         out_dir = os.path.join(args.model_path, split,
                                f"ours_{scene.loaded_iter}", "semantics")
+        from segsplat_tpu.io.provenance import (read_weights_source,
+                                                write_provenance)
+        ws = read_weights_source(args.semantics)
+        if ws is not None:  # taint/lineage follows the rendered label maps
+            write_provenance(out_dir, ws, stage="render_semantics")
         print(f"[INFO] rendering {len(dcams)} {split} views → {out_dir}")
         render_semantic_views(scene.gaussians, dcams, logits, out_dir,
                               prompts=prompts, bg_value=bg_value,

@@ -49,12 +49,18 @@ def main(argv=None):
     p.add_argument("--pred_root", required=True)
     p.add_argument("--scenes", nargs="+", default=list(SCENES))
     p.add_argument("--out_csv", default="lerf_eval.csv")
+    p.add_argument("--allow_random_weights", action="store_true",
+                   help="accept predictions tainted weights_source=random")
     args = p.parse_args(argv)
 
+    from segsplat_tpu.io.provenance import read_weights_source, require_untainted
     all_rows = []
     for scene in args.scenes:
-        rows = eval_scene(os.path.join(args.gt_root, scene),
-                          os.path.join(args.pred_root, scene))
+        pred_dir = os.path.join(args.pred_root, scene)
+        require_untainted(read_weights_source(pred_dir),
+                          args.allow_random_weights,
+                          f"prediction dir {pred_dir}")
+        rows = eval_scene(os.path.join(args.gt_root, scene), pred_dir)
         for r in rows:
             r["scene"] = scene
         all_rows += rows

@@ -40,8 +40,14 @@ def main(argv=None):
     p.add_argument("--ignore_label", type=int, default=-1)
     p.add_argument("--labels", nargs="*", default=None,
                    help="optional class names for the per-class report")
+    p.add_argument("--allow_random_weights", action="store_true",
+                   help="accept predictions tainted weights_source=random")
     args = p.parse_args(argv)
 
+    from segsplat_tpu.io.provenance import read_weights_source, require_untainted
+    require_untainted(read_weights_source(args.pred_dir),
+                      args.allow_random_weights,
+                      f"prediction dir {args.pred_dir}")
     preds = sorted(glob.glob(os.path.join(args.pred_dir, "*_labels.pt")))
     if not preds:  # fall back to any label-map-like files
         preds = sorted(glob.glob(os.path.join(args.pred_dir, "*.npy"))

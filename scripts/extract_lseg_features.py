@@ -36,6 +36,8 @@ def main(argv=None):
 
     from segsplat_tpu.models.lseg import LSegModel, convert_lseg_checkpoint, pad_to_multiple
 
+    from segsplat_tpu.io.provenance import RANDOM, write_provenance
+
     params = None
     if args.checkpoint and os.path.exists(args.checkpoint):
         import torch
@@ -45,15 +47,21 @@ def main(argv=None):
         params = convert_lseg_checkpoint(
             {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")})
         print(f"[INFO] loaded LSeg weights from {args.checkpoint}")
+        weights_source = f"checkpoint:{os.path.basename(args.checkpoint)}"
     else:
         print("[WARN] no LSeg checkpoint — using random weights; extracted "
-              "features will not be semantically meaningful")
+              "features will not be semantically meaningful (stamped "
+              "weights_source=random; downstream stages refuse them unless "
+              "--allow_random_weights)")
+        weights_source = RANDOM
     import jax.numpy as _jnp
     model = LSegModel(params=params,
                       compute_dtype=(_jnp.bfloat16 if args.dtype == "bfloat16"
                                      else _jnp.float32))
 
     os.makedirs(args.out_dir, exist_ok=True)
+    write_provenance(args.out_dir, weights_source,
+                     short_side=args.short_side, dtype=args.dtype)
     files = sorted(sum((glob.glob(os.path.join(args.images, e))
                         for e in ("*.jpg", "*.jpeg", "*.png", "*.JPG")), []))
     if not files:

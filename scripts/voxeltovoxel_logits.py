@@ -19,8 +19,11 @@ def main(argv=None):
     p.add_argument("--vox", required=True)
     p.add_argument("--prompt", type=str, nargs="+", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--allow_random_weights", action="store_true",
+                   help="accept voxel features tainted weights_source=random")
     args = p.parse_args(argv)
-    out = query_voxels(args.vox, args.prompt, args.out)
+    out = query_voxels(args.vox, args.prompt, args.out,
+                       allow_random_weights=args.allow_random_weights)
     import numpy as np
     labels = out["labels"]
     print("[INFO] label histogram:",

@@ -147,7 +147,8 @@ def camera_arrays_for(files: Sequence[str], name_to_entry, cam_params,
 def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
                              out_dir: str, cfg: LiftConfig = LiftConfig(),
                              image_size: Optional[Tuple[int, int]] = None,
-                             mesh=None, first_only: bool = False) -> dict:
+                             mesh=None, first_only: bool = False,
+                             allow_random_weights: bool = False) -> dict:
     """Run the full multi-view lift; writes checkpoints + final artifacts into
     ``out_dir``. With ``mesh`` (a (view, tensor) jax.sharding.Mesh of >1
     device) each view chunk is sharded over the mesh's view axis and the voxel
@@ -176,6 +177,14 @@ def aggregate_voxel_features(voxel_ply: str, lseg_dir: str, camera_params: str,
         np.round((centers - occ_origin) / vs) * vs + occ_origin, jnp.float32)
     snap_ids = jnp.arange(1, len(centers) + 1, dtype=jnp.int32)
 
+    from segsplat_tpu.io.provenance import (read_weights_source,
+                                            require_untainted,
+                                            write_provenance)
+    weights_source = read_weights_source(lseg_dir)
+    require_untainted(weights_source, allow_random_weights,
+                      f"feature dir {lseg_dir}")
+    if weights_source is not None:  # propagate taint/lineage to our artifacts
+        write_provenance(out_dir, weights_source, stage="lift")
     files = sorted(glob.glob(os.path.join(lseg_dir, "*.npy")))[:cfg.max_views]
     if first_only:
         files = files[:1]

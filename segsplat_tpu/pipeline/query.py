@@ -47,6 +47,26 @@ def convert_pt_to_npz(pt_path: str, out_path: str) -> None:
     """.pt/.pth voxel features → .npz (reference `convert` subcommand)."""
     d = load_voxel_features(pt_path)
     np.savez_compressed(out_path, **d)
+    _propagate_provenance(pt_path, out_path, stage="convert")
+
+
+def _propagate_provenance(src_path: str, out_path: str, stage: str) -> None:
+    """Carry the weights-provenance sidecar from ``src_path``'s directory to
+    ``out_path``'s (io/provenance: taint must survive format conversions)."""
+    import os
+
+    from segsplat_tpu.io.provenance import read_weights_source, write_provenance
+    ws = read_weights_source(src_path)
+    if ws is not None:
+        write_provenance(os.path.dirname(os.path.abspath(out_path)) or ".",
+                         ws, stage=stage)
+
+
+def _check_taint(voxel_features_path: str, allow: bool):
+    from segsplat_tpu.io.provenance import read_weights_source, require_untainted
+    ws = read_weights_source(voxel_features_path)
+    require_untainted(ws, allow, f"voxel features {voxel_features_path}")
+    return ws
 
 
 def build_map(voxel_features_path: str, gaussians_path: str, out_path: str,
@@ -68,7 +88,7 @@ def build_map(voxel_features_path: str, gaussians_path: str, out_path: str,
 def query(voxel_features_path: str, map_path: str, gaussians_path: str,
           prompts: Sequence[str], out_path: str,
           text_model=None, logit_scale: float = 1.0 / 0.07,
-          save_ply: bool = True) -> dict:
+          save_ply: bool = True, allow_random_weights: bool = False) -> dict:
     """Open-vocab query: encode prompts with the CLIP text tower, project 512-D
     voxel features to per-label logits, argmax per voxel, gather onto Gaussians
     via the 1-NN map, save .npz {labels, logits, prompts} + colored PLY
@@ -79,6 +99,7 @@ def query(voxel_features_path: str, map_path: str, gaussians_path: str,
 
     from segsplat_tpu.pipeline.lift_features import _device_put_bounded
 
+    _check_taint(voxel_features_path, allow_random_weights)
     vox = load_voxel_features(voxel_features_path)
     # bounded transfer: a reference-scale table (~900k×512 f32 ≈ 1.8 GB) in
     # one device_put would kill the tunnel relay (CLAUDE.md, ≤128 MiB rule)
@@ -95,6 +116,7 @@ def query(voxel_features_path: str, map_path: str, gaussians_path: str,
     g_logits = logits[g2v]
 
     save_semantics(out_path, labels=g_labels, logits=g_logits, prompts=prompts)
+    _propagate_provenance(voxel_features_path, out_path, stage="query")
     if save_ply:
         mu = load_gaussian_centers(gaussians_path)   # only the PLY needs it
         pal = bit_shuffle_palette(max(len(prompts), 1))
@@ -109,7 +131,8 @@ def query(voxel_features_path: str, map_path: str, gaussians_path: str,
 
 def query_voxels(voxel_features_path: str, prompts: Sequence[str],
                  out_path: str, text_model=None,
-                 logit_scale: float = 1.0 / 0.07) -> dict:
+                 logit_scale: float = 1.0 / 0.07,
+                 allow_random_weights: bool = False) -> dict:
     """Voxel-level variant (voxeltovoxel_logits.py:138-291): labels stay on
     voxels, no Gaussian map."""
     import jax.numpy as jnp
@@ -118,6 +141,7 @@ def query_voxels(voxel_features_path: str, prompts: Sequence[str],
 
     from segsplat_tpu.pipeline.lift_features import _device_put_bounded
 
+    _check_taint(voxel_features_path, allow_random_weights)
     vox = load_voxel_features(voxel_features_path)
     feats = _device_put_bounded(np.asarray(vox["feat"], np.float32))
     text_emb = _encode_prompts(prompts, text_model, feats.shape[-1])
@@ -125,6 +149,7 @@ def query_voxels(voxel_features_path: str, prompts: Sequence[str],
         feats, jnp.asarray(text_emb, jnp.float32), logit_scale))
     labels = logits.argmax(axis=1).astype(np.int64)
     save_semantics(out_path, labels=labels, logits=logits, prompts=prompts)
+    _propagate_provenance(voxel_features_path, out_path, stage="query_voxels")
     pal = bit_shuffle_palette(max(len(prompts), 1))
     write_voxel_grid_ply(os.path.splitext(out_path)[0] + "_voxels.ply",
                          np.asarray(vox["pos"]), pal[labels],

@@ -160,10 +160,15 @@ def _save_legend_png(path: str, labels: np.ndarray, pal: np.ndarray,
         warnings.warn(f"legend PNG failed for {path}: {e!r}")
 
 
-def attach_logits_for_table(table, semantics_path: str) -> np.ndarray:
+def attach_logits_for_table(table, semantics_path: str,
+                            allow_random_weights: bool = False) -> np.ndarray:
     """Load gaussian_semantics .npz and align [M, P] logits to the table's active
     rows (render_semantics_logits.py:49-57 pads/slices to 32 channels at raster
-    time — render_semantics does that internally)."""
+    time — render_semantics does that internally). Refuses artifacts tainted
+    weights_source=random (io/provenance) unless ``allow_random_weights``."""
+    from segsplat_tpu.io.provenance import read_weights_source, require_untainted
+    require_untainted(read_weights_source(semantics_path), allow_random_weights,
+                      f"semantics {semantics_path}")
     d = load_semantics(semantics_path)
     logits = np.asarray(d["logits"], np.float32)
     n_active = int(np.asarray(table.active).sum())

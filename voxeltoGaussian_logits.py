@@ -32,6 +32,8 @@ def main(argv=None):
     qry.add_argument("--out", type=pathlib.Path, required=True)
     qry.add_argument("--device", type=str, default="tpu",
                      help="accepted for reference-CLI compatibility")
+    qry.add_argument("--allow_random_weights", action="store_true",
+                     help="accept voxel features tainted weights_source=random")
 
     args = p.parse_args(argv)
     if args.cmd == "convert":
@@ -41,7 +43,8 @@ def main(argv=None):
                     batch=args.batch)
     else:
         out = Q.query(str(args.vox), str(args.map), str(args.gauss),
-                      args.prompt, str(args.out))
+                      args.prompt, str(args.out),
+                      allow_random_weights=args.allow_random_weights)
         import numpy as np
         labels = out["labels"]
         print("[INFO] label histogram:",
