@@ -1,0 +1,145 @@
+"""LPIPS parity: our JAX rebuild (eval/lpips.py) vs a from-scratch torch
+oracle implementing the reference's exact semantics
+(lama/saicinpainting/evaluation/losses/lpips.py PNetLin :533-600), with
+SHARED backbone weights and the REAL shipped lin calibration heads
+(lama/models/lpips_models/{vgg,alex}.pth). This validates the architecture
+and both converters bit-faithfully; with real torchvision backbone weights
+the metric would be canonical LPIPS."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+torch = pytest.importorskip("torch")
+
+from segsplat_tpu.eval.lpips import (_conv_shapes, convert_backbone_checkpoint,
+                                     convert_lpips_checkpoint, init_backbone,
+                                     load_lpips, lpips)
+
+LPIPS_DIR = "/root/reference/lama/models/lpips_models"
+
+
+def _torch_backbone(net: str, params: dict):
+    """nn.Sequential mirroring torchvision `features` (lpips.py:806-860),
+    loaded with OUR backbone weights (HWIO → OIHW)."""
+    import torch.nn as nn
+    layers = []
+    shapes = _conv_shapes(net)
+    if net == "vgg":
+        cfg = ["C"] * 2 + ["M"] + ["C"] * 2 + ["M"] + ["C"] * 3 + ["M"] + \
+              ["C"] * 3 + ["M"] + ["C"] * 3
+        pool = nn.MaxPool2d(2, 2)
+    else:
+        cfg = ["C", "M", "C", "M", "C", "C", "C"]
+        pool = nn.MaxPool2d(3, 2)
+    ci = 0
+    for v in cfg:
+        if v == "M":
+            layers.append(pool)
+            continue
+        c_in, c_out, k, s, p = shapes[ci]
+        conv = nn.Conv2d(c_in, c_out, k, stride=s, padding=p)
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(
+                params[f"conv{ci}_w"].transpose(3, 2, 0, 1)))
+            conv.bias.copy_(torch.from_numpy(params[f"conv{ci}_b"]))
+        layers += [conv, nn.ReLU()]
+        ci += 1
+    return nn.Sequential(*layers)
+
+
+def _torch_lpips(img0, img1, net: str, backbone_params, lins):
+    """Reference-exact forward: scale to [-1,1], ScalingLayer, slices,
+    unit-normalize, diff², 1×1 lin, spatial average, sum."""
+    feats = _torch_backbone(net, backbone_params)
+    # post-relu tap positions inside the Sequential
+    if net == "vgg":
+        taps = [3, 8, 15, 22, 29]     # relu1_2, relu2_2, relu3_3, relu4_3, relu5_3
+    else:
+        taps = [1, 4, 7, 9, 11]
+    shift = torch.tensor([-.030, -.088, -.188])[None, :, None, None]
+    scale = torch.tensor([.458, .448, .450])[None, :, None, None]
+
+    def run(x):
+        x = 2 * x - 1
+        x = (x - shift) / scale
+        outs = []
+        for i, m in enumerate(feats):
+            x = m(x)
+            if i in taps:
+                outs.append(x)
+        return outs
+
+    with torch.no_grad():
+        f0, f1 = run(img0), run(img1)
+        total = 0.0
+        for a, b, lin in zip(f0, f1, lins):
+            na = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            nb = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            d = (na - nb) ** 2
+            w = torch.from_numpy(lin)[None, :, None, None]
+            total = total + (d * w).sum(1, keepdim=True).mean((2, 3))
+    return total.squeeze(1).numpy()
+
+
+@pytest.mark.parametrize("net", ["vgg", "alex"])
+def test_lpips_matches_torch_oracle(net):
+    rng = np.random.default_rng(3)
+    img0 = rng.random((2, 64, 64, 3)).astype(np.float32)
+    img1 = np.clip(img0 + 0.2 * rng.standard_normal(img0.shape), 0, 1
+                   ).astype(np.float32)
+
+    params = load_lpips(net=net)                 # real lins, seed-0 backbone
+    assert params["lin_source"].startswith("checkpoint:"), \
+        "reference lin weights must load"
+    assert params["backbone_source"] == "random(seed0)"
+
+    ours = lpips(img0, img1, params)
+    ref = _torch_lpips(torch.from_numpy(img0.transpose(0, 3, 1, 2)),
+                       torch.from_numpy(img1.transpose(0, 3, 1, 2)),
+                       net, params["backbone"], params["lins"])
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=1e-6)
+    # basic metric sanity
+    assert lpips(img0, img0, params).max() < 1e-6
+    assert (ours > 0).all()
+
+
+@pytest.mark.parametrize("net", ["vgg", "alex"])
+def test_real_lin_weights_convert(net):
+    path = os.path.join(LPIPS_DIR, f"{net}.pth")
+    if not os.path.exists(path):
+        pytest.skip("reference lpips weights unavailable")
+    sd = torch.load(path, map_location="cpu")
+    lins = convert_lpips_checkpoint({k: v.numpy() for k, v in sd.items()}, net)
+    chans = (64, 128, 256, 512, 512) if net == "vgg" else (64, 192, 384, 256, 256)
+    assert tuple(l.shape[0] for l in lins) == chans
+    for l in lins:  # DistModel.clamp_weights keeps heads non-negative
+        assert (l >= 0).all()
+
+
+def test_backbone_converter_roundtrip():
+    """torchvision-style OIHW state dict → HWIO and back."""
+    p = init_backbone("alex", seed=1)
+    tv_idx = [0, 3, 6, 8, 10]
+    sd = {}
+    for i, ti in enumerate(tv_idx):
+        sd[f"features.{ti}.weight"] = p[f"conv{i}_w"].transpose(3, 2, 0, 1)
+        sd[f"features.{ti}.bias"] = p[f"conv{i}_b"]
+    q = convert_backbone_checkpoint(sd, "alex")
+    for k in p:
+        np.testing.assert_array_equal(p[k], q[k])
+
+
+def test_lpips_orders_degradations():
+    """More degradation → larger distance (relative-instrument sanity)."""
+    rng = np.random.default_rng(0)
+    img = rng.random((1, 96, 96, 3)).astype(np.float32)
+    params = load_lpips(net="vgg")
+    d = [float(lpips(img, np.clip(img + s * rng.standard_normal(img.shape),
+                                  0, 1).astype(np.float32), params))
+         for s in (0.05, 0.15, 0.4)]
+    assert d[0] < d[1] < d[2]
