@@ -112,7 +112,15 @@ def main(argv=None):
     p.add_argument("--out_json", default="inpaint_lpips_eval.json")
     p.add_argument("--patch_iters", type=int, default=6)
     p.add_argument("--methods", nargs="+", default=["pushpull", "patch"])
+    p.add_argument("--platform", default=None, choices=(None, "cpu", "tpu"),
+                   help="force a jax platform (use cpu when the TPU tunnel "
+                        "is down; jax is preimported so this must be a "
+                        "config.update, not an env var)")
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms",
+                          "cpu" if args.platform == "cpu" else "axon")
 
     from segsplat_tpu.eval.lpips import load_lpips, lpips
     from segsplat_tpu.ops.inpaint import inpaint_pushpull

@@ -43,22 +43,68 @@ N_OBJECTS = 5
 
 # ───────────────────────── scene + GT sweep ─────────────────────────
 
-def build_objects(rng, per_obj: int = 200):
+def _hsv_colors(n: int, rng) -> np.ndarray:
+    """n distinct-ish base colors on the HSV wheel; at n ≥ 15 hues crowd
+    (neighboring objects within ~0.05 hue) — intentional difficulty."""
+    import colorsys
+    hues = (np.arange(n) / n + rng.uniform(0, 1)) % 1.0
+    sat = rng.uniform(0.55, 0.95, n)
+    val = rng.uniform(0.55, 0.95, n)
+    return np.array([colorsys.hsv_to_rgb(h, s, v)
+                     for h, s, v in zip(hues, sat, val)], np.float32)
+
+
+def build_objects(rng, per_obj: int = 200, n_objects: int = N_OBJECTS,
+                  layout: str = "fixed", textured: bool = False):
     """K colored Gaussian blobs around the origin; returns dict of arrays
-    incl. per-Gaussian GT object id (1-based; 0 = background)."""
-    centers = np.array([[0.6, 0.0, 0.0], [-0.5, 0.35, 0.2],
-                        [0.0, -0.55, -0.3], [-0.1, 0.5, -0.45],
-                        [0.15, -0.1, 0.55]])[:N_OBJECTS]
-    base_colors = np.array([[0.9, 0.15, 0.1], [0.1, 0.8, 0.2],
-                            [0.15, 0.25, 0.9], [0.9, 0.8, 0.1],
-                            [0.8, 0.15, 0.85]])[:N_OBJECTS]
+    incl. per-Gaussian GT object id (1-based; 0 = background).
+
+    layout='fixed' keeps the round-3 well-separated 5-object scene;
+    layout='random' packs ``n_objects`` into a 0.9-radius ball with only a
+    0.28 min-separation — on the orbit, objects routinely occlude each
+    other. textured=True gives each object a two-tone plane-wave surface
+    texture (intra-object gradients SLIC oversegments on) instead of a flat
+    albedo — the realistic-difficulty axis of VERDICT r3 #5."""
+    if layout == "fixed" and n_objects <= 5:
+        centers = np.array([[0.6, 0.0, 0.0], [-0.5, 0.35, 0.2],
+                            [0.0, -0.55, -0.3], [-0.1, 0.5, -0.45],
+                            [0.15, -0.1, 0.55]])[:n_objects]
+        base_colors = np.array([[0.9, 0.15, 0.1], [0.1, 0.8, 0.2],
+                                [0.15, 0.25, 0.9], [0.9, 0.8, 0.1],
+                                [0.8, 0.15, 0.85]])[:n_objects]
+    else:
+        centers = []
+        while len(centers) < n_objects:
+            c = rng.uniform(-0.9, 0.9, 3)
+            if np.linalg.norm(c) > 0.95:
+                continue
+            if centers and np.min(np.linalg.norm(
+                    np.asarray(centers) - c, axis=1)) < 0.28:
+                continue
+            centers.append(c)
+        centers = np.asarray(centers, np.float32)
+        base_colors = _hsv_colors(n_objects, rng)
     xyz, rgb, oid = [], [], []
-    for k in range(N_OBJECTS):
-        xyz.append(centers[k] + rng.normal(0, 0.16, (per_obj, 3)))
-        rgb.append(np.clip(base_colors[k] + rng.normal(0, 0.03, (per_obj, 3)),
-                           0, 1))
+    for k in range(n_objects):
+        spread = 0.16 if layout == "fixed" else float(rng.uniform(0.10, 0.19))
+        pts = centers[k] + rng.normal(0, spread, (per_obj, 3))
+        if textured:
+            # two-tone plane-wave texture across the object's extent
+            c2 = np.clip(base_colors[k][::-1] * rng.uniform(0.4, 1.0), 0, 1)
+            d = rng.standard_normal(3)
+            d /= np.linalg.norm(d)
+            freq = rng.uniform(6.0, 14.0)
+            w = 0.5 + 0.5 * np.sin(freq * (pts - centers[k]) @ d
+                                   + rng.uniform(0, 2 * np.pi))
+            col = (w[:, None] * base_colors[k] + (1 - w[:, None]) * c2)
+            col = np.clip(col + rng.normal(0, 0.02, (per_obj, 3)), 0, 1)
+        else:
+            col = np.clip(base_colors[k] + rng.normal(0, 0.03, (per_obj, 3)),
+                          0, 1)
+        xyz.append(pts)
+        rgb.append(col)
         oid.append(np.full(per_obj, k + 1))
-    n = N_OBJECTS * per_obj
+    n = n_objects * per_obj
     quats = rng.normal(size=(n, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
     return dict(
@@ -100,7 +146,8 @@ def render_sweep(g, Rs, ts, fx, fy, H, W, max_per_tile=512):
     from segsplat_tpu.core.types import Camera
     from segsplat_tpu.ops.rasterize import rasterize
 
-    onehot = np.zeros((len(g["oid"]), N_OBJECTS), np.float32)
+    n_obj = int(g["oid"].max())
+    onehot = np.zeros((len(g["oid"]), n_obj), np.float32)
     onehot[np.arange(len(g["oid"])), g["oid"] - 1] = 1.0
     payload = jnp.asarray(np.concatenate([g["rgb"], onehot], axis=1))
     import jax as _jax
@@ -117,7 +164,7 @@ def render_sweep(g, Rs, ts, fx, fy, H, W, max_per_tile=512):
         out = rasterize(jnp.asarray(g["xyz"]), jnp.asarray(g["scales"]),
                         jnp.asarray(g["quats"]), jnp.asarray(g["opac"]),
                         payload, cam.world_view_transform(), fx, fy,
-                        W / 2, H / 2, bg=jnp.zeros(3 + N_OBJECTS), **kw)
+                        W / 2, H / 2, bg=jnp.zeros(3 + n_obj), **kw)
         img = np.asarray(out["image"])
         alpha = np.asarray(out["alpha"])
         rgbs.append(np.clip(img[..., :3], 0, 1))
@@ -195,7 +242,7 @@ def tracker_consistency(tracked, gts):
     return (agree / max(total, 1)), n_tracks
 
 
-def match_miou(pred, gts, n_pred_classes):
+def match_miou(pred, gts, n_pred_classes, n_objects: int = N_OBJECTS):
     """Hungarian-match predicted class ids to GT objects (incl. background 0)
     on total intersection, then report per-GT-object IoU. Uses the
     framework's on-device JV solver (ops/assignment)."""
@@ -203,7 +250,7 @@ def match_miou(pred, gts, n_pred_classes):
 
     from segsplat_tpu.ops.assignment import linear_sum_assignment
 
-    gt_classes = N_OBJECTS + 1
+    gt_classes = n_objects + 1
     inter = np.zeros((n_pred_classes, gt_classes), np.int64)
     parea = np.zeros(n_pred_classes, np.int64)
     garea = np.zeros(gt_classes, np.int64)
@@ -275,7 +322,8 @@ def predict_identity_maps(state, Rs, ts, fx, fy, H, W, raster_kw):
 
 
 def lerf_protocol_eval(logit_maps, gts, alphas, seed: int = 0,
-                       feat_dim: int = 48, noise: float = 0.05):
+                       feat_dim: int = 48, noise: float = 0.05,
+                       n_objects: int = N_OBJECTS):
     """LERF-Masked protocol on the trained scene with MEANINGFUL features
     (VERDICT round-2 weak #7: grounding/IoA/softmax-export had only ever seen
     noise). Each GT object gets a synthetic unit "text embedding"; frame-0
@@ -304,7 +352,7 @@ def lerf_protocol_eval(logit_maps, gts, alphas, seed: int = 0,
     from segsplat_tpu.train.editing import select_obj_ioa
 
     rng = np.random.default_rng(seed + 7)
-    names = [f"object-{k}" for k in range(1, N_OBJECTS + 1)]
+    names = [f"object-{k}" for k in range(1, n_objects + 1)]
     vocab_words = names + list(LERF_NEGATIVES) + ["control-concept"]
     # orthonormal vocabulary: at LERF's 100× logit scale, random-unit-vector
     # cross-correlations (~±0.14 at D=48) would make off-target grounding a
@@ -323,7 +371,7 @@ def lerf_protocol_eval(logit_maps, gts, alphas, seed: int = 0,
     gt0 = gts[0]
     fmap = np.empty((*gt0.shape, feat_dim), np.float32)
     fmap[:] = table["stuff"]
-    for k in range(1, N_OBJECTS + 1):
+    for k in range(1, n_objects + 1):
         fmap[gt0 == k] = table[names[k - 1]]
     fmap += rng.normal(0, noise, fmap.shape).astype(np.float32)
 
@@ -336,7 +384,7 @@ def lerf_protocol_eval(logit_maps, gts, alphas, seed: int = 0,
     pred0 = np.where(alphas[0] >= 0.5, logit_maps[0].argmax(axis=0), -1)
     vocab = _Vocab()
     ious, bious = [], []
-    for k in range(1, N_OBJECTS + 1):
+    for k in range(1, n_objects + 1):
         qmask = text_query_mask(fmap, names[k - 1], threshold=0.5,
                                 text_model=vocab)
         ids = [i for i in select_obj_ioa(pred0, qmask, 0.7) if i >= 0]
@@ -375,7 +423,8 @@ def lerf_protocol_eval(logit_maps, gts, alphas, seed: int = 0,
 def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
              seed: int = 0, capacity: int = 4096, quiet: bool = False,
              consolidate: bool = False, max_per_tile: int = 512,
-             label_source: str = "slic"):
+             label_source: str = "slic", n_objects: int = N_OBJECTS,
+             layout: str = "fixed", textured: bool = False):
     """A/B at 36 frames / 128² / 2000 iters (CPU, seed 0): consolidation
     merges 46→37 tracks and lifts strict 1-1 identity mIoU 0.27→0.30, but
     its occasional wrong merges cost the reference's own grouping protocol
@@ -395,7 +444,8 @@ def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
 
     rng = np.random.default_rng(seed)
     t0 = time.perf_counter()
-    g = build_objects(rng)
+    g = build_objects(rng, n_objects=n_objects, layout=layout,
+                      textured=textured)
     Rs, ts, fx, fy = orbit_cameras(frames, H, W)
     rgbs, gts = render_sweep(g, Rs, ts, fx, fy, H, W,
                              max_per_tile=max_per_tile)
@@ -449,8 +499,25 @@ def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
                      else "pallas")
     preds, n_pred, logit_maps, alphas = predict_identity_maps(
         state, Rs, ts, fx, fy, H, W, raster_kw)
-    miou, obj_ious, miou_1to1, bg_iou = match_miou(preds, gts, n_pred)
-    lerf = lerf_protocol_eval(logit_maps, gts, alphas, seed=seed)
+    miou, obj_ious, miou_1to1, bg_iou = match_miou(preds, gts, n_pred,
+                                                   n_objects=n_objects)
+    lerf = lerf_protocol_eval(logit_maps, gts, alphas, seed=seed,
+                              n_objects=n_objects)
+
+    # post-train codebook-class consolidation (pipeline/consolidate.py):
+    # merge classes by 3D interleaving + identity-feature agreement, then
+    # re-score BOTH protocols on the merged maps — the strict-1-1 attack
+    # of VERDICT r3 #5, measured against any grouped regression
+    from segsplat_tpu.pipeline.consolidate import consolidate_classes
+    remap = consolidate_classes(
+        np.asarray(state.table.objects_dc).reshape(
+            state.table.capacity, -1),
+        np.asarray(state.code_book), np.asarray(state.table.xyz),
+        active=np.asarray(state.table.active))
+    preds_m = [remap[p] for p in preds]
+    miou_m, _, miou_1to1_m, _ = match_miou(preds_m, gts, n_pred,
+                                           n_objects=n_objects)
+    n_merged = len(np.unique(remap[1:]))
 
     result = {
         "tracker_consistency": round(consistency, 4),
@@ -458,11 +525,15 @@ def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
         "post_train_identity_miou_grouped": round(miou, 4),
         "per_object_iou_grouped": [round(x, 4) for x in obj_ious],
         "post_train_identity_miou_1to1": round(miou_1to1, 4),
+        "class_merge": {"grouped": round(miou_m, 4),
+                        "strict_1to1": round(miou_1to1_m, 4),
+                        "n_classes_after": n_merged},
         "background_iou": round(bg_iou, 4),
         "lerf": {k: round(v, 4) if isinstance(v, float) else v
                  for k, v in lerf.items()},
         "config": {"frames": frames, "hw": [H, W], "iterations": iterations,
-                   "n_objects": N_OBJECTS, "capacity": capacity,
+                   "n_objects": n_objects, "layout": layout,
+                   "textured": textured, "capacity": capacity,
                    "label_source": label_source},
         "timings_s": {"render_sweep": round(t_render, 1),
                       "pseudo_labels": round(t_labels, 1),
@@ -488,11 +559,18 @@ def main(argv=None):
                    help="'gt' trains on the GT instance maps — the upper "
                         "bound isolating training/render quality from the "
                         "SLIC+track label quality")
+    p.add_argument("--n_objects", type=int, default=N_OBJECTS)
+    p.add_argument("--layout", choices=("fixed", "random"), default="fixed",
+                   help="'random' packs the objects with occlusions")
+    p.add_argument("--textured", action="store_true",
+                   help="two-tone plane-wave surface textures per object")
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     run_loop(args.out, args.frames, args.size, args.size, args.iterations,
              capacity=args.capacity, consolidate=args.consolidate,
-             label_source=args.label_source)
+             label_source=args.label_source, n_objects=args.n_objects,
+             layout=args.layout, textured=args.textured, seed=args.seed)
 
 
 if __name__ == "__main__":
