@@ -424,7 +424,8 @@ def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
              seed: int = 0, capacity: int = 4096, quiet: bool = False,
              consolidate: bool = False, max_per_tile: int = 512,
              label_source: str = "slic", n_objects: int = N_OBJECTS,
-             layout: str = "fixed", textured: bool = False):
+             layout: str = "fixed", textured: bool = False,
+             slic_segments: int = 64):
     """A/B at 36 frames / 128² / 2000 iters (CPU, seed 0): consolidation
     merges 46→37 tracks and lifts strict 1-1 identity mIoU 0.27→0.30, but
     its occasional wrong merges cost the reference's own grouping protocol
@@ -464,7 +465,8 @@ def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
             Image.fromarray(gt.astype(np.uint8)).save(
                 os.path.join(mask_dir, f"frame_{f_i:03d}.png"))
     else:
-        segment_images(os.path.join(root, "images"), seg_dir, n_segments=64,
+        segment_images(os.path.join(root, "images"), seg_dir,
+                       n_segments=slic_segments,
                        compactness=12.0, merge_thresh=0.15, min_pixels=40)
         track_sequence(seg_dir, mask_dir, iou_threshold=0.4, memory_frames=8,
                        min_pixels=40,
@@ -509,15 +511,30 @@ def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
     # re-score BOTH protocols on the merged maps — the strict-1-1 attack
     # of VERDICT r3 #5, measured against any grouped regression
     from segsplat_tpu.pipeline.consolidate import consolidate_classes
+    # raw merge inputs persisted so the consolidation criterion can be
+    # iterated OFFLINE against this trained state (training dominates the
+    # loop's cost; merging is pure post-processing)
+    np.savez_compressed(
+        os.path.join(root, "merge_debug.npz"),
+        objects_dc=np.asarray(state.table.objects_dc).reshape(
+            state.table.capacity, -1),
+        code_book=np.asarray(state.code_book),
+        xyz=np.asarray(state.table.xyz),
+        active=np.asarray(state.table.active),
+        preds=np.stack(preds), gts=np.stack(gts))
+    merge_stats = {}
     remap = consolidate_classes(
         np.asarray(state.table.objects_dc).reshape(
             state.table.capacity, -1),
         np.asarray(state.code_book), np.asarray(state.table.xyz),
-        active=np.asarray(state.table.active))
+        active=np.asarray(state.table.active), stats=merge_stats)
     preds_m = [remap[p] for p in preds]
     miou_m, _, miou_1to1_m, _ = match_miou(preds_m, gts, n_pred,
                                            n_objects=n_objects)
-    n_merged = len(np.unique(remap[1:]))
+    used = np.unique(np.concatenate([np.unique(p) for p in preds]))
+    used = used[used > 0]
+    n_used_before = int(len(used))
+    n_merged = int(len(np.unique(remap[used])))
 
     result = {
         "tracker_consistency": round(consistency, 4),
@@ -527,7 +544,9 @@ def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
         "post_train_identity_miou_1to1": round(miou_1to1, 4),
         "class_merge": {"grouped": round(miou_m, 4),
                         "strict_1to1": round(miou_1to1_m, 4),
-                        "n_classes_after": n_merged},
+                        "rendered_classes_before": n_used_before,
+                        "rendered_classes_after": n_merged,
+                        "stats": merge_stats},
         "background_iou": round(bg_iou, 4),
         "lerf": {k: round(v, 4) if isinstance(v, float) else v
                  for k, v in lerf.items()},
@@ -565,12 +584,16 @@ def main(argv=None):
     p.add_argument("--textured", action="store_true",
                    help="two-tone plane-wave surface textures per object")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--slic_segments", type=int, default=64,
+                   help="SLIC superpixel count (scale with object count "
+                        "and resolution; 64 fits the 5-object 128 px scene)")
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     run_loop(args.out, args.frames, args.size, args.size, args.iterations,
              capacity=args.capacity, consolidate=args.consolidate,
              label_source=args.label_source, n_objects=args.n_objects,
-             layout=args.layout, textured=args.textured, seed=args.seed)
+             layout=args.layout, textured=args.textured, seed=args.seed,
+             slic_segments=args.slic_segments)
 
 
 if __name__ == "__main__":

@@ -72,8 +72,8 @@ def _knn_neighbor_classes(xyz: np.ndarray, cls: np.ndarray, k: int,
 def consolidate_classes(obj_feat: np.ndarray, code_book: np.ndarray,
                         xyz: np.ndarray,
                         active: Optional[np.ndarray] = None,
-                        cfg: ClassMergeConfig = ClassMergeConfig()
-                        ) -> np.ndarray:
+                        cfg: ClassMergeConfig = ClassMergeConfig(),
+                        stats: Optional[dict] = None) -> np.ndarray:
     """Merge codebook classes by 3D interleaving + identity-feature agreement.
 
     obj_feat [N, D] per-Gaussian identity features; code_book [K, D];
@@ -121,6 +121,18 @@ def consolidate_classes(obj_feat: np.ndarray, code_book: np.ndarray,
     ii, jj = np.nonzero(np.triu(sym, 1) >= cfg.mix_threshold)
     cos = (fdir[ii] * fdir[jj]).sum(1)
     ok = cos >= cfg.feat_threshold
+    if stats is not None:  # observability for threshold tuning
+        tri = np.triu(sym, 1)
+        stats.update(
+            n_big_classes=int(len(big)),
+            n_mixing_pairs=int(len(ii)),
+            n_merge_pairs=int(ok.sum()),
+            top_mixing=[(int(a), int(b), round(float(tri[a, b]), 3),
+                         round(float((fdir[a] * fdir[b]).sum()), 3))
+                        for a, b in zip(*np.unravel_index(
+                            np.argsort(-tri, axis=None)[:8], tri.shape))
+                        if tri[a, b] > 0],
+            cos_at_mixing=[round(float(c), 3) for c in cos[:16]])
     ii, jj, strength = ii[ok], jj[ok], sym[ii, jj][ok]
     order = np.argsort(-strength)
 
