@@ -80,7 +80,18 @@ def main(argv=None):
                    default="patch",
                    help="patch: texture-synthesizing PatchMatch voting; "
                         "pushpull: membrane (harmonic) fill only")
+    p.add_argument("--report_lpips", action="store_true",
+                   help="score each fill vs the ORIGINAL frame with LPIPS "
+                        "(eval/lpips.py; real reference calibration heads, "
+                        "stamped backbone) — quantifies how perceptually "
+                        "invisible the fill is outside the removed object")
     args = p.parse_args(argv)
+    lp_params = None
+    if args.report_lpips:
+        from segsplat_tpu.eval.lpips import load_lpips
+        lp_params = load_lpips(net="vgg")
+        print(f"[INFO] lpips: lins={lp_params['lin_source']} "
+              f"backbone={lp_params['backbone_source']}")
 
     os.makedirs(args.out, exist_ok=True)
     mask_by_stem = {os.path.splitext(f)[0]: os.path.join(args.masks, f)
@@ -107,6 +118,10 @@ def main(argv=None):
                                               smooth_iters=args.smooth_iters))
         Image.fromarray((np.clip(out, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(args.out, f))
+        if lp_params is not None:
+            from segsplat_tpu.eval.lpips import lpips
+            print(f"  {f}: lpips_vgg={float(lpips(img, out, lp_params)):.4f} "
+                  f"hole={hole.mean():.3f}")
         n += 1
     print(f"[DONE] inpainted {n} frames -> {args.out}")
 
