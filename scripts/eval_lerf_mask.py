@@ -51,6 +51,10 @@ def main(argv=None):
     p.add_argument("--out_csv", default="lerf_eval.csv")
     p.add_argument("--allow_random_weights", action="store_true",
                    help="accept predictions tainted weights_source=random")
+    p.add_argument("--require_provenance", action="store_true",
+                   help="strict mode: also reject UNSTAMPED predictions "
+                        "(io/provenance.py — default accepts pre-provenance "
+                        "artifacts)")
     args = p.parse_args(argv)
 
     from segsplat_tpu.io.provenance import read_weights_source, require_untainted
@@ -59,7 +63,8 @@ def main(argv=None):
         pred_dir = os.path.join(args.pred_root, scene)
         require_untainted(read_weights_source(pred_dir),
                           args.allow_random_weights,
-                          f"prediction dir {pred_dir}")
+                          f"prediction dir {pred_dir}",
+                          strict=args.require_provenance)
         rows = eval_scene(os.path.join(args.gt_root, scene), pred_dir)
         for r in rows:
             r["scene"] = scene

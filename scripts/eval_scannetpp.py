@@ -42,12 +42,17 @@ def main(argv=None):
                    help="optional class names for the per-class report")
     p.add_argument("--allow_random_weights", action="store_true",
                    help="accept predictions tainted weights_source=random")
+    p.add_argument("--require_provenance", action="store_true",
+                   help="strict mode: also reject UNSTAMPED predictions "
+                        "(io/provenance.py — default accepts pre-provenance "
+                        "artifacts)")
     args = p.parse_args(argv)
 
     from segsplat_tpu.io.provenance import read_weights_source, require_untainted
     require_untainted(read_weights_source(args.pred_dir),
                       args.allow_random_weights,
-                      f"prediction dir {args.pred_dir}")
+                      f"prediction dir {args.pred_dir}",
+                      strict=args.require_provenance)
     preds = sorted(glob.glob(os.path.join(args.pred_dir, "*_labels.pt")))
     if not preds:  # fall back to any label-map-like files
         preds = sorted(glob.glob(os.path.join(args.pred_dir, "*.npy"))

@@ -58,6 +58,10 @@ def main(argv=None):
     parser.add_argument("--ioa_threshold", type=float, default=0.7)
     parser.add_argument("--softmax_threshold", type=float, default=0.2)
     parser.add_argument("--out_name", default="test_mask")
+    parser.add_argument("--allow_random_weights", action="store_true",
+                        help="accept LSeg features tainted "
+                             "weights_source=random (taint propagates to the "
+                             "mask output dir)")
     args = get_combined_args(parser, argv)
 
     scene = Scene(args.source_path, args.model_path, images=args.images,
@@ -81,6 +85,10 @@ def main(argv=None):
     # frame 0: pick object ids under the query mask (:76-78)
     logits0 = view_logits(dcams[0])
     pred0 = np.asarray(jnp.argmax(logits0, axis=0))
+    # grounding provenance: random-weight LSeg features must not silently
+    # become LERF eval numbers (io/provenance.py); the stamp propagates to
+    # the mask output dir so eval_lerf_mask.py sees it on pred_root.
+    grounding_source = "grounding:precomputed_mask"
     if args.query_mask:
         qmask = np.asarray(Image.open(args.query_mask).convert("L").resize(
             (pred0.shape[1], pred0.shape[0]), Image.NEAREST)) > 128
@@ -93,6 +101,11 @@ def main(argv=None):
                 raise SystemExit("--query_text needs --lseg_feat or --lseg_dir")
             feat_path = os.path.join(args.lseg_dir,
                                      f"{cams[0].image_name}.npy")
+        from segsplat_tpu.io.provenance import (read_weights_source,
+                                                require_untainted)
+        grounding_source = read_weights_source(feat_path)
+        require_untainted(grounding_source, args.allow_random_weights,
+                          f"LSeg features {feat_path}")
         fmap = np.load(feat_path).astype(np.float32)             # [C,h,w]
         qsmall = text_query_mask(fmap, args.query_text,
                                  threshold=args.relevancy_threshold,
@@ -107,9 +120,14 @@ def main(argv=None):
     ids = select_obj_ioa(pred0, qmask, args.ioa_threshold)
     print(f"[INFO] selected object ids: {ids}")
 
-    out_dir = os.path.join(args.model_path, "test_mask",
+    out_dir = os.path.join(args.model_path, args.out_name,
                            f"ours_{scene.loaded_iter}")
     os.makedirs(out_dir, exist_ok=True)
+    from segsplat_tpu.io.provenance import write_provenance
+    write_provenance(out_dir,
+                     grounding_source if grounding_source is not None
+                     else "grounding:unstamped_lseg_features",
+                     stage="render_lerf_mask")
     import jax
 
     for cam, info in zip(dcams, cams):

@@ -21,9 +21,12 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--allow_random_weights", action="store_true",
                    help="accept voxel features tainted weights_source=random")
+    p.add_argument("--require_provenance", action="store_true",
+                   help="strict mode: also reject UNSTAMPED voxel features")
     args = p.parse_args(argv)
     out = query_voxels(args.vox, args.prompt, args.out,
-                       allow_random_weights=args.allow_random_weights)
+                       allow_random_weights=args.allow_random_weights,
+                       require_provenance=args.require_provenance)
     import numpy as np
     labels = out["labels"]
     print("[INFO] label histogram:",

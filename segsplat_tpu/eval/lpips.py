@@ -257,4 +257,6 @@ def lpips(img0: np.ndarray, img1: np.ndarray, params: dict,
     fn = _jitted(params["net"], normalize)
     out = np.asarray(fn(img0, img1, params["backbone"],
                         tuple(params["lins"])))
-    return float(out[0]) if squeeze else out
+    # scalar for single-image calls (3-D input OR a 4-D batch of one) so
+    # float(lpips(...)) call sites never hit NumPy's ndim>0→scalar deprecation
+    return float(out[0]) if (squeeze or out.shape == (1,)) else out

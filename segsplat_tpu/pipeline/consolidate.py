@@ -39,8 +39,14 @@ import numpy as np
 
 @dataclasses.dataclass
 class ClassMergeConfig:
+    """Defaults tuned on the 20-object/256²/30-frame hard scene
+    (scripts/tune_class_merge.py over results/hard_scene/merge_debug.npz,
+    round 5): mix 0.08 / cos 0.80 maximizes strict-1-1 (0.3979 → 0.4252,
+    merging 5 class ids) at a −0.009 grouped cost; looser feature gates
+    (cos < 0.8) collapse distinct objects (grouped 0.45 → 0.04 at cos −1.0),
+    confirming the feature-agreement gate carries the signal."""
     k_neighbors: int = 8
-    mix_threshold: float = 0.12   # min symmetric neighbor-slot fraction
+    mix_threshold: float = 0.08   # min symmetric neighbor-slot fraction
     feat_threshold: float = 0.80  # cosine of class-mean identity features
     min_gaussians: int = 20       # ignore classes with tinier 3D support
     chunk: int = 2048             # kNN distance-matrix row chunk
@@ -72,7 +78,7 @@ def _knn_neighbor_classes(xyz: np.ndarray, cls: np.ndarray, k: int,
 def consolidate_classes(obj_feat: np.ndarray, code_book: np.ndarray,
                         xyz: np.ndarray,
                         active: Optional[np.ndarray] = None,
-                        cfg: ClassMergeConfig = ClassMergeConfig(),
+                        cfg: Optional[ClassMergeConfig] = None,
                         stats: Optional[dict] = None) -> np.ndarray:
     """Merge codebook classes by 3D interleaving + identity-feature agreement.
 
@@ -80,6 +86,7 @@ def consolidate_classes(obj_feat: np.ndarray, code_book: np.ndarray,
     xyz [N, 3]; active optional bool [N]. Returns remap [K + 1] over
     1-BASED rendered class ids (0 = background) — apply as ``remap[pred]``.
     """
+    cfg = cfg or ClassMergeConfig()
     obj_feat = np.asarray(obj_feat, np.float32)
     code_book = np.asarray(code_book, np.float32)
     xyz = np.asarray(xyz, np.float32)

@@ -62,10 +62,12 @@ def _propagate_provenance(src_path: str, out_path: str, stage: str) -> None:
                          ws, stage=stage)
 
 
-def _check_taint(voxel_features_path: str, allow: bool):
+def _check_taint(voxel_features_path: str, allow: bool,
+                 strict: bool = False):
     from segsplat_tpu.io.provenance import read_weights_source, require_untainted
     ws = read_weights_source(voxel_features_path)
-    require_untainted(ws, allow, f"voxel features {voxel_features_path}")
+    require_untainted(ws, allow, f"voxel features {voxel_features_path}",
+                      strict=strict)
     return ws
 
 
@@ -88,7 +90,8 @@ def build_map(voxel_features_path: str, gaussians_path: str, out_path: str,
 def query(voxel_features_path: str, map_path: str, gaussians_path: str,
           prompts: Sequence[str], out_path: str,
           text_model=None, logit_scale: float = 1.0 / 0.07,
-          save_ply: bool = True, allow_random_weights: bool = False) -> dict:
+          save_ply: bool = True, allow_random_weights: bool = False,
+          require_provenance: bool = False) -> dict:
     """Open-vocab query: encode prompts with the CLIP text tower, project 512-D
     voxel features to per-label logits, argmax per voxel, gather onto Gaussians
     via the 1-NN map, save .npz {labels, logits, prompts} + colored PLY
@@ -99,7 +102,8 @@ def query(voxel_features_path: str, map_path: str, gaussians_path: str,
 
     from segsplat_tpu.pipeline.lift_features import _device_put_bounded
 
-    _check_taint(voxel_features_path, allow_random_weights)
+    _check_taint(voxel_features_path, allow_random_weights,
+                 strict=require_provenance)
     vox = load_voxel_features(voxel_features_path)
     # bounded transfer: a reference-scale table (~900k×512 f32 ≈ 1.8 GB) in
     # one device_put would kill the tunnel relay (CLAUDE.md, ≤128 MiB rule)
@@ -132,7 +136,8 @@ def query(voxel_features_path: str, map_path: str, gaussians_path: str,
 def query_voxels(voxel_features_path: str, prompts: Sequence[str],
                  out_path: str, text_model=None,
                  logit_scale: float = 1.0 / 0.07,
-                 allow_random_weights: bool = False) -> dict:
+                 allow_random_weights: bool = False,
+                 require_provenance: bool = False) -> dict:
     """Voxel-level variant (voxeltovoxel_logits.py:138-291): labels stay on
     voxels, no Gaussian map."""
     import jax.numpy as jnp
@@ -141,7 +146,8 @@ def query_voxels(voxel_features_path: str, prompts: Sequence[str],
 
     from segsplat_tpu.pipeline.lift_features import _device_put_bounded
 
-    _check_taint(voxel_features_path, allow_random_weights)
+    _check_taint(voxel_features_path, allow_random_weights,
+                 strict=require_provenance)
     vox = load_voxel_features(voxel_features_path)
     feats = _device_put_bounded(np.asarray(vox["feat"], np.float32))
     text_emb = _encode_prompts(prompts, text_model, feats.shape[-1])

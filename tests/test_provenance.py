@@ -104,6 +104,54 @@ def test_eval_refuses_tainted_predictions(tmp_path):
                              "--out_csv", str(tmp_path / "o.csv")])
 
 
+def test_write_never_downgrades_taint(tmp_path):
+    """A clean stamp into a directory already stamped random keeps the taint
+    (directory-granular sidecar: the tainted co-located artifacts still
+    exist); the attempted clean source is recorded for forensics."""
+    import json
+
+    d = str(tmp_path / "arts")
+    write_provenance(d, RANDOM, stage="extract")
+    write_provenance(d, "checkpoint:demo_e200.ckpt", stage="query")
+    assert read_weights_source(d) == RANDOM
+    with open(os.path.join(d, "_weights_provenance.json")) as f:
+        rec = json.load(f)
+    assert rec["shadowed_sources"] == ["checkpoint:demo_e200.ckpt"]
+    # tainted→tainted and clean→clean overwrites stay plain overwrites
+    write_provenance(d, RANDOM, stage="again")
+    assert read_weights_source(d) == RANDOM
+    d2 = str(tmp_path / "clean")
+    write_provenance(d2, "checkpoint:a.ckpt")
+    write_provenance(d2, "checkpoint:b.ckpt")
+    assert read_weights_source(d2) == "checkpoint:b.ckpt"
+
+
+def test_strict_mode_rejects_unstamped(tmp_path):
+    """--require_provenance: unstamped artifacts fail in strict mode only."""
+    require_untainted(None, False, "x")                       # default: ok
+    with pytest.raises(RuntimeError, match="NO weights-provenance"):
+        require_untainted(None, False, "x", strict=True)
+    require_untainted("checkpoint:demo_e200.ckpt", False, "x", strict=True)
+    with pytest.raises(RuntimeError, match="RANDOM weights"):
+        require_untainted(RANDOM, False, "x", strict=True)
+
+    # end-to-end on the eval CLI
+    import eval_scannetpp
+    pred = tmp_path / "pred"
+    gt = tmp_path / "gt"
+    pred.mkdir(), gt.mkdir()
+    lab = np.zeros((8, 8), np.int64)
+    np.save(pred / "00000.npy", lab)
+    np.save(gt / "00000_label.npy", lab)
+    argv = ["--pred_dir", str(pred), "--gt_dir", str(gt), "--num_classes", "2"]
+    eval_scannetpp.main(argv)                       # unstamped, default: ok
+    with pytest.raises(RuntimeError, match="NO weights-provenance"):
+        eval_scannetpp.main(argv + ["--require_provenance"])
+    write_provenance(str(pred), "checkpoint:demo_e200.ckpt",
+                     stage="render_semantics")
+    eval_scannetpp.main(argv + ["--require_provenance"])      # stamped: ok
+
+
 def test_convert_propagates_taint(tmp_path):
     from segsplat_tpu.pipeline.query import convert_pt_to_npz
 

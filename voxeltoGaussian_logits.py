@@ -34,6 +34,8 @@ def main(argv=None):
                      help="accepted for reference-CLI compatibility")
     qry.add_argument("--allow_random_weights", action="store_true",
                      help="accept voxel features tainted weights_source=random")
+    qry.add_argument("--require_provenance", action="store_true",
+                     help="strict mode: also reject UNSTAMPED voxel features")
 
     args = p.parse_args(argv)
     if args.cmd == "convert":
@@ -44,7 +46,8 @@ def main(argv=None):
     else:
         out = Q.query(str(args.vox), str(args.map), str(args.gauss),
                       args.prompt, str(args.out),
-                      allow_random_weights=args.allow_random_weights)
+                      allow_random_weights=args.allow_random_weights,
+                      require_provenance=args.require_provenance)
         import numpy as np
         labels = out["labels"]
         print("[INFO] label histogram:",
