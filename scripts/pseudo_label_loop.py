@@ -587,13 +587,18 @@ def main(argv=None):
     p.add_argument("--slic_segments", type=int, default=64,
                    help="SLIC superpixel count (scale with object count "
                         "and resolution; 64 fits the 5-object 128 px scene)")
+    p.add_argument("--max_per_tile", type=int, default=512,
+                   help="per-tile blend K cap for train AND eval renders — "
+                        "the K-cap truncation A/B knob (reference blends "
+                        "unbounded per-tile lists)")
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     run_loop(args.out, args.frames, args.size, args.size, args.iterations,
              capacity=args.capacity, consolidate=args.consolidate,
              label_source=args.label_source, n_objects=args.n_objects,
              layout=args.layout, textured=args.textured, seed=args.seed,
-             slic_segments=args.slic_segments)
+             slic_segments=args.slic_segments,
+             max_per_tile=args.max_per_tile)
 
 
 if __name__ == "__main__":

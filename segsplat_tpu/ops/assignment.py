@@ -25,7 +25,6 @@ import jax.numpy as jnp
 _INF = jnp.float32(jnp.inf)
 
 
-@jax.jit
 def linear_sum_assignment(cost: jax.Array, row_mask=None):
     """Minimum-cost matching on a square [N, N] float cost matrix.
 
@@ -39,21 +38,32 @@ def linear_sum_assignment(cost: jax.Array, row_mask=None):
 
     Returns (col_of_row [N] int32, row_of_col [N] int32): col_of_row[i] is the
     column assigned to row i.
+
+    The default row_mask is materialized HERE (outside jit) and passed as a
+    real argument: building it inside the jitted program hoists a constant
+    buffer, and the CPU backend can drop hoisted constants on later identical
+    calls ("Execution supplied 1 buffers but compiled program expected 2" —
+    killed the hard-scene GT eval's second match_miou; see CLAUDE.md).
     """
+    if row_mask is None:
+        row_mask = jnp.ones((cost.shape[0],), jnp.bool_)
+    return _lap_jit(cost, row_mask)
+
+
+@jax.jit
+def _lap_jit(cost: jax.Array, row_mask: jax.Array):
     n = cost.shape[0]
     assert cost.shape == (n, n), "cost must be square"
     cost = cost.astype(jnp.float32)
-    if row_mask is None:
-        row_mask = jnp.ones((n,), jnp.bool_)
 
-    def assign_row(carry, i):
+    def assign_row(i, carry):
         def skip(carry):
             return carry
 
         def solve(carry):
             return _assign_one(carry, i)
 
-        return jax.lax.cond(row_mask[i], solve, skip, carry), None
+        return jax.lax.cond(row_mask[i], solve, skip, carry)
 
     def _assign_one(carry, i):
         v, row_of_col, col_of_row = carry
@@ -110,9 +120,10 @@ def linear_sum_assignment(cost: jax.Array, row_mask=None):
             aug_cond, aug_body, (j_free, row_of_col, col_of_row))
         return (v, row_of_col, col_of_row)
 
+    # fori_loop (not scan-over-arange): the arange xs would be another hoisted
+    # constant buffer, the same CPU-backend hazard as the default row_mask
     init = (jnp.zeros((n,), jnp.float32),
             jnp.full((n,), -1, jnp.int32),
             jnp.full((n,), -1, jnp.int32))
-    (v, row_of_col, col_of_row), _ = jax.lax.scan(
-        assign_row, init, jnp.arange(n, dtype=jnp.int32))
+    v, row_of_col, col_of_row = jax.lax.fori_loop(0, n, assign_row, init)
     return col_of_row, row_of_col

@@ -76,3 +76,27 @@ def test_row_mask_subset_matches_subset_solve():
     ri, ci = scipy_lap(c[mask])
     ours = c[mask][np.arange(mask.sum()), sel].sum()
     np.testing.assert_allclose(ours, c[mask][ri, ci].sum(), rtol=1e-5)
+
+
+def test_repeated_standalone_calls_same_shape():
+    """Regression for the CPU-backend hoisted-constant drop that killed the
+    hard-scene GT eval's SECOND match_miou call ("Execution supplied 1
+    buffers but compiled program expected 2"): the default row_mask and the
+    row loop must not hoist constant buffers into the compiled program, so
+    repeated standalone calls with identical shapes — interleaved with other
+    jitted work, as in scripts/pseudo_label_loop.match_miou — stay alive and
+    agree with each other and with scipy."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    n = 257  # the hard-scene eval's dim (256-class codebook + background)
+    c = rng.random((n, n)).astype(np.float32)
+    col1, _ = linear_sum_assignment(jnp.asarray(c))
+    # interleave an unrelated jitted program (consolidate/knn ran between
+    # the two match_miou calls in the crashing run)
+    jax.jit(lambda x: (x @ x.T).sum())(jnp.asarray(c[:64, :64])).block_until_ready()
+    col2, _ = linear_sum_assignment(jnp.asarray(c))
+    np.testing.assert_array_equal(np.asarray(col1), np.asarray(col2))
+    ri, ci = scipy_lap(c)
+    ours = c[np.arange(n), np.asarray(col1)].sum()
+    np.testing.assert_allclose(ours, c[ri, ci].sum(), rtol=1e-5)
