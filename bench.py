@@ -77,6 +77,61 @@ def _probe_backend(timeout_s: int = 90) -> None:
         sys.exit(1)
 
 
+def headline_render_scene(W: int = 1920, H: int = 1080, N: int = 200_000):
+    """The headline-FPS scene (seed 0): 200k Gaussians in a 4 m box in front
+    of the camera. Shared with scripts/perf_guard.py so the CPU perf guard
+    tracks EXACTLY the benched program."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    xyz = jnp.asarray(rng.random((N, 3)) * np.array([4.0, 3.0, 4.0])
+                      + np.array([-2.0, -1.5, 2.0]), jnp.float32)
+    scales = jnp.asarray(np.exp(rng.normal(-4.6, 0.3, (N, 3))), jnp.float32)
+    quats = rng.normal(size=(N, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    quats = jnp.asarray(quats)
+    opac = jnp.asarray(rng.uniform(0.3, 0.95, (N,)), jnp.float32)
+    logits = jnp.asarray(rng.standard_normal((N, 32)), jnp.float32)
+    # max_tiles_per_axis=3 covers this scene's splat radii exactly (~11 px → ≤3
+    # tiles); the Pallas backend is the fused TPU blend kernel. pair_cap:
+    # real pairs measured 1.20M/frame (scripts/perf_bin_dissect.py) — 1.5M
+    # keeps a 25% margin while cutting the payload gather below N·m²=1.8M.
+    kw = dict(width=W, height=H, max_tiles_per_axis=3, max_per_tile=256,
+              backend="pallas", pair_cap=1_500_000)
+    return dict(xyz=xyz, scales=scales, quats=quats, opac=opac,
+                logits=logits, kw=kw, W=W, H=H)
+
+
+def hostile_render_scene(W: int = 1920, H: int = 1080, N: int = 200_000):
+    """The adversarial render scene (seed 7): 40 tight clusters, log-normal
+    mixed scales (~5–60 px splats), low-opacity tail — heavy-tailed tile
+    depth like a post-densify trained scene. Shared with perf_guard.py."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    n_clusters = 40
+    cl_centers = (rng.random((n_clusters, 3)) * np.array([4.0, 3.0, 4.0])
+                  + np.array([-2.0, -1.5, 2.0]))
+    # heavy-tailed cluster sizes (a few clusters own most Gaussians)
+    w = rng.pareto(1.2, n_clusters) + 0.05
+    counts = np.maximum((w / w.sum() * N).astype(int), 1)
+    counts[0] += N - counts.sum()
+    assign = np.repeat(np.arange(n_clusters), counts)[:N]
+    xyz = (cl_centers[assign]
+           + rng.normal(0, 0.08, (N, 3))).astype(np.float32)
+    # mixed scales: median ~1 cm with a fat tail to ~10 cm
+    scales = np.exp(rng.normal(-4.3, 0.8, (N, 3))).astype(np.float32)
+    quats = rng.normal(size=(N, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.02, 0.9, (N,)).astype(np.float32)
+    logits = rng.standard_normal((N, 32)).astype(np.float32)
+    kw = dict(width=W, height=H, max_tiles_per_axis=6, max_per_tile=512,
+              backend="pallas", pair_cap=6_000_000)
+    return dict(xyz=jnp.asarray(xyz), scales=jnp.asarray(scales),
+                quats=jnp.asarray(quats), opac=jnp.asarray(opac),
+                logits=jnp.asarray(logits), kw=kw, W=W, H=H)
+
+
 def main() -> None:
     _probe_backend()
 
@@ -88,19 +143,10 @@ def main() -> None:
     from segsplat_tpu.core.types import Camera
     from segsplat_tpu.ops.rasterize import rasterize
 
-    W, H = 1920, 1080
-    N = 200_000           # typical trained-scene Gaussian count
-    rng = np.random.default_rng(0)
-
-    # synthetic trained-scene stand-in: Gaussians in a 4m box in front of the camera
-    xyz = jnp.asarray(rng.random((N, 3)) * np.array([4.0, 3.0, 4.0])
-                      + np.array([-2.0, -1.5, 2.0]), jnp.float32)
-    scales = jnp.asarray(np.exp(rng.normal(-4.6, 0.3, (N, 3))), jnp.float32)
-    quats = rng.normal(size=(N, 4)).astype(np.float32)
-    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
-    quats = jnp.asarray(quats)
-    opac = jnp.asarray(rng.uniform(0.3, 0.95, (N,)), jnp.float32)
-    logits = jnp.asarray(rng.standard_normal((N, 32)), jnp.float32)
+    sc = headline_render_scene()
+    W, H = sc["W"], sc["H"]
+    xyz, scales, quats = sc["xyz"], sc["scales"], sc["quats"]
+    opac, logits, kw = sc["opac"], sc["logits"], sc["kw"]
 
     cam = Camera(R=jnp.eye(3), T=jnp.zeros(3),
                  fov_x=jnp.asarray(1.2), fov_y=jnp.asarray(0.75),
@@ -108,13 +154,6 @@ def main() -> None:
     viewmat = cam.world_view_transform()
     K = cam.intrinsics()
     bg = jnp.zeros((32,), jnp.float32)
-
-    # max_tiles_per_axis=3 covers this scene's splat radii exactly (~11 px → ≤3
-    # tiles); the Pallas backend is the fused TPU blend kernel. pair_cap:
-    # real pairs measured 1.20M/frame (scripts/perf_bin_dissect.py) — 1.5M
-    # keeps a 25% margin while cutting the payload gather below N·m²=1.8M.
-    kw = dict(width=W, height=H, max_tiles_per_axis=3, max_per_tile=256,
-              backend="pallas", pair_cap=1_500_000)
 
     # measurement note: through the remote TPU tunnel, block_until_ready does not
     # reliably wait for execution, so F frames run inside ONE jitted lax.scan with
@@ -199,37 +238,16 @@ def bench_hostile_render(rtt: float) -> dict:
     from segsplat_tpu.core.types import Camera
     from segsplat_tpu.ops.rasterize import rasterize
 
-    W, H = 1920, 1080
-    N = 200_000
-    rng = np.random.default_rng(7)
-
-    n_clusters = 40
-    cl_centers = (rng.random((n_clusters, 3)) * np.array([4.0, 3.0, 4.0])
-                  + np.array([-2.0, -1.5, 2.0]))
-    # heavy-tailed cluster sizes (a few clusters own most Gaussians)
-    w = rng.pareto(1.2, n_clusters) + 0.05
-    counts = np.maximum((w / w.sum() * N).astype(int), 1)
-    counts[0] += N - counts.sum()
-    assign = np.repeat(np.arange(n_clusters), counts)[:N]
-    xyz = (cl_centers[assign]
-           + rng.normal(0, 0.08, (N, 3))).astype(np.float32)
-    # mixed scales: median ~1 cm with a fat tail to ~10 cm
-    scales = np.exp(rng.normal(-4.3, 0.8, (N, 3))).astype(np.float32)
-    quats = rng.normal(size=(N, 4)).astype(np.float32)
-    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
-    opac = rng.uniform(0.02, 0.9, (N,)).astype(np.float32)
-    logits = rng.standard_normal((N, 32)).astype(np.float32)
+    sc = hostile_render_scene()
+    W, H, kw = sc["W"], sc["H"], sc["kw"]
+    xyz_j, sc_j, qu_j = sc["xyz"], sc["scales"], sc["quats"]
+    op_j, lg_j = sc["opac"], sc["logits"]
 
     cam = Camera(R=jnp.eye(3), T=jnp.zeros(3),
                  fov_x=jnp.asarray(1.2), fov_y=jnp.asarray(0.75),
                  width=W, height=H)
     K = cam.intrinsics()
     bg = jnp.zeros((32,), jnp.float32)
-    kw = dict(width=W, height=H, max_tiles_per_axis=6, max_per_tile=512,
-              backend="pallas", pair_cap=6_000_000)
-
-    xyz_j, sc_j, qu_j = jnp.asarray(xyz), jnp.asarray(scales), jnp.asarray(quats)
-    op_j, lg_j = jnp.asarray(opac), jnp.asarray(logits)
 
     def one_frame(vm):
         out = rasterize(xyz_j, sc_j, qu_j, op_j, lg_j, vm,
