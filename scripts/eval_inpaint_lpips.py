@@ -111,7 +111,13 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_json", default="inpaint_lpips_eval.json")
     p.add_argument("--patch_iters", type=int, default=6)
-    p.add_argument("--methods", nargs="+", default=["pushpull", "patch"])
+    p.add_argument("--methods", nargs="+",
+                   default=["pushpull", "patch",
+                            "meanfill", "noisefill", "wrongtex"],
+                   help="known-bad controls (meanfill/noisefill/wrongtex) "
+                        "calibrate the instrument's low end: bad fills must "
+                        "score well above both methods on the same crops "
+                        "(VERDICT r4 weak #5)")
     p.add_argument("--platform", default=None, choices=(None, "cpu", "tpu"),
                    help="force a jax platform (use cpu when the TPU tunnel "
                         "is down; jax is preimported so this must be a "
@@ -144,10 +150,27 @@ def main(argv=None):
             for method in args.methods:
                 if method == "pushpull":
                     out = np.asarray(inpaint_pushpull(img, mask))
-                else:
+                elif method == "patch":
                     out = np.asarray(inpaint_texture(
                         img, mask, pm_iters=args.patch_iters,
                         seed=args.seed))
+                # known-bad controls — the instrument's low-end calibration
+                elif method == "meanfill":
+                    out = img.copy()
+                    out[mask] = img[~mask].mean(axis=0)
+                elif method == "noisefill":
+                    crng = np.random.default_rng(args.seed + 7 * ci + mi)
+                    out = img.copy()
+                    out[mask] = crng.uniform(
+                        size=(int(mask.sum()), 3)).astype(np.float32)
+                elif method == "wrongtex":
+                    # paste an UNRELATED natural crop into the hole — the
+                    # plausible-but-wrong failure a fill can actually produce
+                    other = crops[(ci + len(crops) // 2) % len(crops)][1]
+                    out = img.copy()
+                    out[mask] = other[mask]
+                else:
+                    raise SystemExit(f"unknown method {method!r}")
                 hole = mask[..., None]
                 mae = float(np.abs((out - img) * hole).sum()
                             / max(hole.sum() * 3, 1))
@@ -174,7 +197,27 @@ def main(argv=None):
         print(f"[MEAN] {method:9s} mae={s['mae_hole']:.4f} "
               f"ssim={s['ssim']:.4f} lpips_vgg={s['lpips_vgg']:.4f} "
               f"lpips_alex={s['lpips_alex']:.4f}")
+    # instrument dynamic range: the worst (highest-scoring) REAL method vs
+    # the best (lowest-scoring) known-bad control, per net — the committed
+    # answer to "does the scale separate good from bad fills at the low end?"
+    controls = [m for m in args.methods
+                if m in ("meanfill", "noisefill", "wrongtex")]
+    real = [m for m in args.methods if m not in controls]
+    dynamic_range = {}
+    if controls and real:
+        for net in ("lpips_vgg", "lpips_alex"):
+            worst_real = max(summary[m][net] for m in real)
+            best_control = min(summary[m][net] for m in controls)
+            dynamic_range[net] = {
+                "worst_real_method": worst_real,
+                "best_control": best_control,
+                "separation_x": round(best_control / max(worst_real, 1e-9), 1)}
+            print(f"[RANGE] {net}: worst real {worst_real:.4f} vs best "
+                  f"control {best_control:.4f} → separation "
+                  f"{dynamic_range[net]['separation_x']}x")
+
     out = {"rows": rows, "summary": summary,
+           "dynamic_range": dynamic_range,
            "lpips_provenance": {n: {"lins": params[n]["lin_source"],
                                     "backbone": params[n]["backbone_source"]}
                                 for n in params},

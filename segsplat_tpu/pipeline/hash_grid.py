@@ -100,15 +100,32 @@ class AdaptiveHashGrid:
         self.points = points
         self.cell_sizes = self.compute_adaptive_cell_sizes(points, normals,
                                                            confidence)
-        # level-0 assignment at max_cell_size, then split overfull cells level
-        # by level (all at once — the vectorized form of _subdivide_voxel)
-        levels = np.zeros(len(points), np.int32)
-        coords = np.floor(points / self.max_cell_size).astype(np.int64)
+        # Per-point adaptive initial assignment (reference build,
+        # hash_grid.py:301-303: cell_coords at each point's OWN cell size),
+        # QUANTIZED onto the octree ladder max_cell_size/2^L. The reference's
+        # arbitrary per-point sizes produce partially-overlapping boxes that
+        # _resolve_voxel_intersections (:205-271) must subdivide pairwise at
+        # O(n²); on the ladder, two occupied cells are either disjoint or
+        # strictly nested (ancestor/descendant), so the subdivide-both branch
+        # is resolved analytically up-front and only the reference's
+        # ">80% overlap → keep the voxel with more points" rule remains,
+        # which _resolve_nested_cells applies vectorized.
+        with np.errstate(divide="ignore"):
+            lad = np.log2(self.max_cell_size
+                          / np.maximum(self.cell_sizes, 1e-12))
+        levels = np.clip(np.round(lad), 0, self.max_depth).astype(np.int32)
+        sizes = self.max_cell_size / (2.0 ** levels)
+        coords = np.floor(points / sizes[:, None]).astype(np.int64)
+        coords, levels = self._resolve_nested_cells(points, coords, levels)
+        # split overfull cells level by level (all at once — the vectorized
+        # form of _subdivide_voxel); whole cells move down together, so the
+        # no-nesting invariant is preserved
         for depth in range(self.max_depth):
             key = self._key(coords, levels)
             _, inv, counts = np.unique(key, return_inverse=True,
                                        return_counts=True)
-            overfull = counts[inv] > self.max_points_per_cell
+            overfull = ((counts[inv] > self.max_points_per_cell)
+                        & (levels < self.max_depth))
             if not overfull.any():
                 break
             size = self.max_cell_size / (2.0 ** (levels[overfull] + 1))
@@ -129,6 +146,92 @@ class AdaptiveHashGrid:
     def _key(self, coords: np.ndarray, levels: np.ndarray) -> np.ndarray:
         return (hash_cell_coords(coords, self.hash_size)
                 + levels.astype(np.int64) * self.hash_size)
+
+    def _resolve_nested_cells(self, points: np.ndarray, coords: np.ndarray,
+                              levels: np.ndarray
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+        """The reference's _resolve_voxel_intersections (hash_grid.py:205-271)
+        on the octree ladder: no occupied cell may have an occupied strict
+        ancestor. For each nested pair, the voxel with MORE points wins
+        (reference's >80%-overlap rule — on the ladder the smaller box is
+        always 100% inside the bigger): the loser's points move INTO the
+        winner's footprint (up into the ancestor cell, or down one level
+        when the descendant wins) instead of being deleted from the index —
+        the reference silently drops the loser's points from its hash table,
+        which makes its kNN unsearchable for them; merging preserves the
+        same no-overlap geometry without losing points (query_knn stays
+        exact). Iterates to fixpoint with a forced upward merge as the
+        bounded-iteration backstop."""
+        max_iters = 2 * (self.max_depth + 1)
+        for it in range(max_iters + 1):
+            force_up = it == max_iters
+            rec = np.rec.fromarrays(
+                [levels.astype(np.int64), coords[:, 0], coords[:, 1],
+                 coords[:, 2]], names=("l", "x", "y", "z"))
+            uc, inv = np.unique(rec, return_inverse=True)
+            counts = np.bincount(inv)
+            occ = {(int(u.l), int(u.x), int(u.y), int(u.z)): k
+                   for k, u in enumerate(uc)}
+            # per-cell decision: -2 = stay, -1 = push down one level,
+            # k >= 0 = absorb into unique cell k (its ancestor)
+            decision = np.full(len(uc), -2, np.int64)
+            for k, u in enumerate(uc):
+                L = int(u.l)
+                c = np.array([u.x, u.y, u.z], np.int64)
+                for M in range(0, L):       # shallowest occupied ancestor
+                    anc = tuple(np.floor_divide(c, 2 ** (L - M)))
+                    j = occ.get((M,) + anc)
+                    if j is None:
+                        continue
+                    if force_up or counts[j] >= counts[k]:
+                        decision[k] = j     # descendant merges up
+                    else:
+                        decision[j] = -1    # ancestor pushes down a level
+                    break
+            # compress absorb chains (D→B while B→A must send D to A, or the
+            # vacated middle cell stays occupied by D's points), and cancel
+            # any absorb whose final target is itself pushing down this round
+            # (a moving target; re-detected next iteration)
+            for k in np.flatnonzero(decision >= 0):
+                t = decision[k]
+                while t >= 0 and decision[t] >= 0:
+                    t = decision[t]     # targets are strictly shallower: no cycles
+                decision[k] = -2 if decision[t] == -1 else t
+            if not ((decision >= 0).any() or (decision == -1).any()):
+                return coords, levels
+            pd = decision[inv] == -1
+            if pd.any():
+                new_lv = levels[pd] + 1
+                sz = self.max_cell_size / (2.0 ** new_lv)
+                coords[pd] = np.floor(points[pd] / sz[:, None]).astype(np.int64)
+                levels[pd] = new_lv.astype(np.int32)
+            up = decision[inv] >= 0
+            if up.any():
+                tgt = decision[inv][up]
+                levels[up] = uc.l[tgt].astype(np.int32)
+                coords[up] = np.stack([uc.x[tgt], uc.y[tgt], uc.z[tgt]],
+                                      axis=1).astype(np.int64)
+        return coords, levels
+
+    def nested_cell_conflicts(self) -> int:
+        """Number of occupied cells with an occupied strict ancestor — the
+        invariant _resolve_nested_cells enforces (0 after build)."""
+        assert self.cell_coords is not None
+        rec = np.rec.fromarrays(
+            [self.cell_levels.astype(np.int64), self.cell_coords[:, 0],
+             self.cell_coords[:, 1], self.cell_coords[:, 2]],
+            names=("l", "x", "y", "z"))
+        uc = np.unique(rec)
+        occ = {(int(u.l), int(u.x), int(u.y), int(u.z)) for u in uc}
+        bad = 0
+        for u in uc:
+            L = int(u.l)
+            c = np.array([u.x, u.y, u.z], np.int64)
+            for M in range(0, L):
+                if (M,) + tuple(np.floor_divide(c, 2 ** (L - M))) in occ:
+                    bad += 1
+                    break
+        return bad
 
     def query_knn(self, query: np.ndarray, k: int = 8) -> Tuple[np.ndarray, np.ndarray]:
         """k nearest stored points per query via 27-neighborhood candidate
