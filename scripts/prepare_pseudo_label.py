@@ -82,15 +82,32 @@ def _load_frame_ids(path: str) -> np.ndarray:
     return ids
 
 
+def _load_images(image_dir: str, n_expected: int) -> list:
+    imgs = sorted(f for f in os.listdir(image_dir)
+                  if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    if len(imgs) != n_expected:
+        raise SystemExit(f"{image_dir}: {len(imgs)} images for "
+                         f"{n_expected} masks")
+    return [np.asarray(Image.open(os.path.join(image_dir, f)).convert("RGB"))
+            for f in imgs]
+
+
 def track_sequence(mask_dir: str, out_dir: str, iou_threshold: float,
                    memory_frames: int, min_pixels: int,
                    consolidate_images: str | None = None,
                    adjacency_frac: float = 0.5,
-                   color_thresh: float = 0.10) -> int:
+                   color_thresh: float = 0.10,
+                   motion: bool = True,
+                   color_gate: float = 0.0,
+                   gate_images: str | None = None,
+                   centroid_fallback_frac: float = 0.0) -> int:
     """DEVA-lite: associate per-frame instances across the sequence; with
     ``consolidate_images`` set, follow with the in-clip consensus merge
     (pipeline/tracking.consolidate_tracks) that fuses region-level tracks
-    into object-level ids using whole-sweep adjacency + color evidence."""
+    into object-level ids using whole-sweep adjacency + color evidence.
+    ``motion``/``color_gate`` drive the association-time upgrades
+    (constant-velocity mask prediction, appearance veto — gate_images
+    supplies the RGB frames when consolidate is off)."""
     from segsplat_tpu.pipeline.tracking import (TrackerConfig,
                                                 associate_sequence)
 
@@ -101,19 +118,19 @@ def track_sequence(mask_dir: str, out_dir: str, iou_threshold: float,
         raise SystemExit(f"no masks in {mask_dir}")
     frames = (_load_frame_ids(f) for f in files)
     cfg = TrackerConfig(iou_threshold=iou_threshold,
-                        memory_frames=memory_frames, min_pixels=min_pixels)
-    tracked = associate_sequence(frames, cfg)
+                        memory_frames=memory_frames, min_pixels=min_pixels,
+                        motion=motion, color_gate=color_gate,
+                        centroid_fallback_frac=centroid_fallback_frac)
+    gate_dir = gate_images or consolidate_images
+    images = (_load_images(gate_dir, len(files))
+              if (color_gate > 0 and gate_dir) else None)
+    tracked = associate_sequence(frames, cfg, images=images)
     if consolidate_images is not None:
         from segsplat_tpu.pipeline.tracking import (ConsolidateConfig,
                                                     consolidate_tracks)
 
-        imgs = sorted(f for f in os.listdir(consolidate_images)
-                      if f.lower().endswith((".png", ".jpg", ".jpeg")))
-        if len(imgs) != len(files):
-            raise SystemExit(f"{consolidate_images}: {len(imgs)} images for "
-                             f"{len(files)} masks")
-        images = [np.asarray(Image.open(os.path.join(consolidate_images, f))
-                             .convert("RGB")) for f in imgs]
+        if images is None or gate_dir != consolidate_images:
+            images = _load_images(consolidate_images, len(files))
         tracked = consolidate_tracks(
             tracked, images, ConsolidateConfig(
                 adjacency_frac=adjacency_frac, color_thresh=color_thresh))
@@ -183,6 +200,17 @@ def main(argv=None):
                     "of region tracks into object ids (DEVA-style)")
     tr.add_argument("--adjacency_frac", type=float, default=0.5)
     tr.add_argument("--color_thresh", type=float, default=0.10)
+    tr.add_argument("--no_motion", action="store_true",
+                    help="disable constant-velocity mask prediction")
+    tr.add_argument("--color_gate", type=float, default=0.0,
+                    help="mean-RGB distance vetoing a link (0 = off; "
+                         "needs --gate_images or --consolidate_images)")
+    tr.add_argument("--gate_images", default=None,
+                    help="RGB frame dir for the appearance gate")
+    tr.add_argument("--centroid_fallback_frac", type=float, default=0.0,
+                    help="second-pass centroid match radius in units of "
+                         "sqrt(instance area); bootstraps velocity for fast "
+                         "movers (0 = off)")
 
     sg = sp.add_parser("segment", help="in-framework per-frame instance "
                        "proposals (SLIC + region merge, pipeline/segment.py) "
@@ -211,7 +239,11 @@ def main(argv=None):
                        args.memory_frames, args.min_pixels,
                        consolidate_images=args.consolidate_images,
                        adjacency_frac=args.adjacency_frac,
-                       color_thresh=args.color_thresh)
+                       color_thresh=args.color_thresh,
+                       motion=not args.no_motion,
+                       color_gate=args.color_gate,
+                       gate_images=args.gate_images,
+                       centroid_fallback_frac=args.centroid_fallback_frac)
         return
     if args.cmd == "from_deva":
         print(f"+ {args.deva_cmd}")

@@ -425,7 +425,9 @@ def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
              consolidate: bool = False, max_per_tile: int = 512,
              label_source: str = "slic", n_objects: int = N_OBJECTS,
              layout: str = "fixed", textured: bool = False,
-             slic_segments: int = 64):
+             slic_segments: int = 64, tracker_iou: float = 0.4,
+             tracker_color_gate: float = 0.0, tracker_motion: bool = True,
+             tracker_centroid_frac: float = 0.0):
     """A/B at 36 frames / 128² / 2000 iters (CPU, seed 0): consolidation
     merges 46→37 tracks and lifts strict 1-1 identity mIoU 0.27→0.30, but
     its occasional wrong merges cost the reference's own grouping protocol
@@ -468,10 +470,14 @@ def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
         segment_images(os.path.join(root, "images"), seg_dir,
                        n_segments=slic_segments,
                        compactness=12.0, merge_thresh=0.15, min_pixels=40)
-        track_sequence(seg_dir, mask_dir, iou_threshold=0.4, memory_frames=8,
-                       min_pixels=40,
+        track_sequence(seg_dir, mask_dir, iou_threshold=tracker_iou,
+                       memory_frames=8, min_pixels=40,
                        consolidate_images=(os.path.join(root, "images")
-                                           if consolidate else None))
+                                           if consolidate else None),
+                       motion=tracker_motion,
+                       color_gate=tracker_color_gate,
+                       gate_images=os.path.join(root, "images"),
+                       centroid_fallback_frac=tracker_centroid_frac)
     tracked = [np.asarray(Image.open(os.path.join(mask_dir, f)))
                for f in sorted(os.listdir(mask_dir))]
     t_labels = time.perf_counter() - t0
@@ -553,7 +559,12 @@ def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
         "config": {"frames": frames, "hw": [H, W], "iterations": iterations,
                    "n_objects": n_objects, "layout": layout,
                    "textured": textured, "capacity": capacity,
-                   "label_source": label_source},
+                   "label_source": label_source,
+                   "max_per_tile": max_per_tile,
+                   "tracker": {"iou": tracker_iou,
+                               "color_gate": tracker_color_gate,
+                               "motion": tracker_motion,
+                               "centroid_frac": tracker_centroid_frac}},
         "timings_s": {"render_sweep": round(t_render, 1),
                       "pseudo_labels": round(t_labels, 1),
                       "train": round(t_train, 1)},
@@ -591,6 +602,13 @@ def main(argv=None):
                    help="per-tile blend K cap for train AND eval renders — "
                         "the K-cap truncation A/B knob (reference blends "
                         "unbounded per-tile lists)")
+    p.add_argument("--tracker_iou", type=float, default=0.4)
+    p.add_argument("--tracker_color_gate", type=float, default=0.0,
+                   help="appearance-veto distance (scripts/tune_tracker.py "
+                        "measured 0.25 + iou 0.3 + motion best on the hard "
+                        "scene)")
+    p.add_argument("--no_tracker_motion", action="store_true")
+    p.add_argument("--tracker_centroid_frac", type=float, default=0.0)
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     run_loop(args.out, args.frames, args.size, args.size, args.iterations,
@@ -598,7 +616,10 @@ def main(argv=None):
              label_source=args.label_source, n_objects=args.n_objects,
              layout=args.layout, textured=args.textured, seed=args.seed,
              slic_segments=args.slic_segments,
-             max_per_tile=args.max_per_tile)
+             max_per_tile=args.max_per_tile, tracker_iou=args.tracker_iou,
+             tracker_color_gate=args.tracker_color_gate,
+             tracker_motion=not args.no_tracker_motion,
+             tracker_centroid_frac=args.tracker_centroid_frac)
 
 
 if __name__ == "__main__":

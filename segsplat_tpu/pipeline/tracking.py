@@ -31,6 +31,20 @@ class TrackerConfig:
     memory_frames: int = 30        # how long a lost track stays matchable
     min_pixels: int = 16           # ignore smaller instances
     max_ids: int = 255             # id budget (id 0 = background)
+    motion: bool = True            # constant-velocity mask shift before IoU
+    color_gate: float = 0.0        # mean-RGB distance above which a link is
+    #                                vetoed (0 disables; needs images). DEVA
+    #                                matches in a learned appearance space;
+    #                                this is the classical stand-in: on an
+    #                                orbit sweep small objects move farther
+    #                                than their own extent per frame, so raw
+    #                                IoU both fragments them AND relinks
+    #                                reappearing tracks to whatever overlaps.
+    centroid_fallback_frac: float = 0.0
+    #   second-pass match of IoU-unmatched instances to unmatched live
+    #   tracks by centroid distance ≤ frac·√area (color-gated when images
+    #   are given; 0 disables). Bootstraps the velocity estimate for movers
+    #   whose consecutive-frame IoU never clears the threshold.
 
 
 def extract_instances(id_map: np.ndarray, min_pixels: int = 1
@@ -96,17 +110,56 @@ def _match(iou: np.ndarray, threshold: float) -> Dict[int, int]:
     return out
 
 
+def _shift_mask(mask: np.ndarray, dy: int, dx: int) -> np.ndarray:
+    """Integer-pixel mask translation with zero fill (no wraparound)."""
+    if dy == 0 and dx == 0:
+        return mask
+    out = np.zeros_like(mask)
+    h, w = mask.shape
+    if abs(dy) >= h or abs(dx) >= w:
+        return out
+    sy0, sy1 = max(0, -dy), min(h, h - dy)
+    sx0, sx1 = max(0, -dx), min(w, w - dx)
+    out[sy0 + dy:sy1 + dy, sx0 + dx:sx1 + dx] = mask[sy0:sy1, sx0:sx1]
+    return out
+
+
+def _centroid(mask: np.ndarray) -> np.ndarray:
+    ys, xs = np.nonzero(mask)
+    return np.array([ys.mean(), xs.mean()])
+
+
 class InstanceTracker:
-    """Streaming tracker: feed per-frame instance masks, get stable ids."""
+    """Streaming tracker: feed per-frame instance masks, get stable ids.
+
+    With ``cfg.motion`` each track's stored mask is translated by its
+    constant-velocity prediction (per-frame centroid velocity × frames since
+    last seen) before IoU — DEVA propagates masks with a network; the
+    translation is the classical equivalent that keeps small fast-moving
+    instances matchable on orbit sweeps. With ``cfg.color_gate`` > 0 and an
+    RGB ``image`` passed to update(), a link whose track/instance mean-color
+    distance exceeds the gate is vetoed (appearance memory across
+    occlusions)."""
 
     def __init__(self, cfg: TrackerConfig = TrackerConfig()):
         self.cfg = cfg
         self.track_masks: List[np.ndarray] = []    # last-seen mask per track
         self.track_last_seen: List[int] = []
+        self.track_centroid: List[np.ndarray] = []
+        self.track_vel: List[np.ndarray] = []      # px/frame, (dy, dx)
+        self.track_color: List[np.ndarray] = []    # EMA mean RGB in [0,1]
         self.next_id = 1
         self.frame = -1
 
-    def update(self, instances: Sequence[np.ndarray]) -> List[int]:
+    @staticmethod
+    def _mean_color(image: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        img = image.astype(np.float32)
+        if image.dtype == np.uint8:
+            img = img / 255.0
+        return img[mask].mean(axis=0)
+
+    def update(self, instances: Sequence[np.ndarray],
+               image: np.ndarray | None = None) -> List[int]:
         """Associate this frame's instance masks; returns their global ids
         (order-aligned with ``instances``)."""
         self.frame += 1
@@ -118,24 +171,122 @@ class InstanceTracker:
         for i, mask in enumerate(self.track_masks):
             if mask is not None and i not in live_set:
                 self.track_masks[i] = None
-        iou = _iou_matrix([self.track_masks[i] for i in live], instances)
+        prev = []
+        for i in live:
+            m = self.track_masks[i]
+            if self.cfg.motion:
+                gap = self.frame - self.track_last_seen[i]
+                d = np.rint(self.track_vel[i] * gap).astype(int)
+                m = _shift_mask(m, int(d[0]), int(d[1]))
+            prev.append(m)
+        iou = _iou_matrix(prev, instances)
+        inst_col = (np.stack([self._mean_color(image, m) for m in instances])
+                    if (image is not None and len(instances)) else None)
+        if self.cfg.color_gate > 0 and inst_col is not None and len(live):
+            trk_col = np.stack([self.track_color[i] for i in live])
+            dist = np.linalg.norm(trk_col[:, None] - inst_col[None], axis=2)
+            iou = np.where(dist > self.cfg.color_gate, 0.0, iou)
         match = _match(iou, self.cfg.iou_threshold)
+        if self.cfg.centroid_fallback_frac > 0 and len(live):
+            self._centroid_fallback(match, iou, live, instances, inst_col)
         ids = []
+        updated_this_frame: set = set()
         for ci, mask in enumerate(instances):
+            cen = _centroid(mask)
             if ci in match:
                 ti = live[match[ci]]
-            else:
-                if self.next_id > self.cfg.max_ids:
-                    ids.append(0)   # id budget exhausted → background
+                gap = max(self.frame - self.track_last_seen[ti], 1)
+                self.track_vel[ti] = (cen - self.track_centroid[ti]) / gap
+                if image is not None:
+                    self.track_color[ti] = (0.8 * self.track_color[ti]
+                                            + 0.2 * inst_col[ci])
+            elif self.next_id > self.cfg.max_ids:
+                # id budget exhausted: dropping to background LOSES the
+                # pixels for training (measured 21% of foreground on the
+                # 20-object hard scene) — merge into the best live track
+                # instead: highest surviving (gated) IoU, else the nearest
+                # color-compatible centroid
+                ti = self._budget_fallback(iou, ci, live, cen, inst_col)
+                if ti is None:
+                    ids.append(0)
                     continue
+            else:
                 ti = len(self.track_masks)
                 self.track_masks.append(mask)
                 self.track_last_seen.append(self.frame)
+                self.track_centroid.append(cen)
+                self.track_vel.append(np.zeros(2))
+                self.track_color.append(
+                    inst_col[ci] if inst_col is not None else np.zeros(3))
                 self.next_id += 1
+            if ti in updated_this_frame:
+                # several fragments landed on one track this frame: the
+                # track is their union, not the last fragment
+                mask = mask | self.track_masks[ti]
+                cen = _centroid(mask)
             self.track_masks[ti] = mask
             self.track_last_seen[ti] = self.frame
+            self.track_centroid[ti] = cen
+            updated_this_frame.add(ti)
             ids.append(ti + 1)
         return ids
+
+    def _centroid_fallback(self, match: Dict[int, int], iou: np.ndarray,
+                           live: List[int], instances, inst_col) -> None:
+        """Second-pass association by centroid distance (mutates ``match``):
+        IoU-unmatched instances greedily take the nearest unmatched live
+        track within ``centroid_fallback_frac``·√area, color-compatible when
+        colors are known. Greedy nearest-first (not Hungarian) — the pass
+        exists to bootstrap velocity for movers, not to contest clear
+        matches."""
+        taken = set(match.values())
+        free_t = [k for k in range(len(live)) if k not in taken]
+        free_i = [ci for ci in range(len(instances)) if ci not in match]
+        if not free_t or not free_i:
+            return
+        pairs = []
+        for ci in free_i:
+            cen = _centroid(instances[ci])
+            rad = self.cfg.centroid_fallback_frac * np.sqrt(
+                float(instances[ci].sum()))
+            for k in free_t:
+                ti = live[k]
+                gap = max(self.frame - self.track_last_seen[ti], 1)
+                pred = self.track_centroid[ti] + self.track_vel[ti] * gap
+                d = float(np.linalg.norm(pred - cen))
+                if d > rad:
+                    continue
+                if (inst_col is not None and self.cfg.color_gate > 0
+                        and np.linalg.norm(self.track_color[ti]
+                                           - inst_col[ci])
+                        > self.cfg.color_gate):
+                    continue
+                pairs.append((d, ci, k))
+        for _, ci, k in sorted(pairs, key=lambda p: p[0]):
+            if ci in match or k in taken:
+                continue
+            match[ci] = k
+            taken.add(k)
+
+    def _budget_fallback(self, iou: np.ndarray, ci: int, live: List[int],
+                         cen: np.ndarray, inst_col):
+        """Best live track for an instance the id budget cannot open a new
+        track for; None only when no live track is compatible."""
+        if not live:
+            return None
+        col = iou[:, ci]
+        best = int(np.argmax(col))
+        if col[best] > 0:
+            return live[best]
+        order = np.argsort([np.linalg.norm(self.track_centroid[i] - cen)
+                            for i in live])
+        for k in order:
+            i = live[k]
+            if (inst_col is None or self.cfg.color_gate <= 0
+                    or np.linalg.norm(self.track_color[i] - inst_col[ci])
+                    <= self.cfg.color_gate):
+                return i
+        return None
 
 
 @dataclasses.dataclass
@@ -240,16 +391,19 @@ def consolidate_tracks(id_maps: Sequence[np.ndarray],
 
 
 def associate_sequence(frames: Iterable[np.ndarray],
-                       cfg: TrackerConfig = TrackerConfig()
+                       cfg: TrackerConfig = TrackerConfig(),
+                       images: Sequence[np.ndarray] | None = None
                        ) -> List[np.ndarray]:
     """Per-frame id maps (arbitrary per-frame ids) → temporally-consistent id
     maps. Later instances win overlapping pixels (matches DEVA's painting
-    order for its id masks)."""
+    order for its id masks). ``images`` (RGB, frame-aligned) enable the
+    appearance gate when cfg.color_gate > 0."""
     tracker = InstanceTracker(cfg)
     out = []
-    for frame in frames:
+    for fi, frame in enumerate(frames):
         inst = extract_instances(np.asarray(frame), cfg.min_pixels)
-        ids = tracker.update(inst)
+        ids = tracker.update(
+            inst, image=None if images is None else np.asarray(images[fi]))
         # canvas dtype follows the id budget: uint8 would alias ids mod 256
         # if a user raises max_ids past 255
         dtype = np.uint8 if cfg.max_ids <= 255 else np.uint16

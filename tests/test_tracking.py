@@ -151,3 +151,72 @@ def test_consolidate_color_gate_blocks_cross_object_merge():
     assert kept[0][8, 8] != kept[0][8, 16]
     merged = consolidate_tracks(frames, None, cfg)
     assert merged[0][8, 8] == merged[0][8, 16]
+
+
+def test_motion_prediction_tracks_fast_mover():
+    """A small object moving farther than its own extent per frame fragments
+    under raw IoU (zero overlap between consecutive frames) but stays one
+    track with constant-velocity mask prediction — the orbit-sweep failure
+    mode the hard scene exposed (BASELINE.md round 5)."""
+    frames = []
+    for t in range(6):
+        f = np.zeros((64, 64), np.int32)
+        _square(f, 2 + 9 * t, 10, 6, 1)   # 6-px object moving 9 px/frame
+        frames.append(f)
+    raw = associate_sequence(frames, TrackerConfig(min_pixels=4, motion=False))
+    ids_raw = {int(raw[t][13, 2 + 9 * t + 3]) for t in range(6)}
+    assert len(ids_raw) > 1, "without motion the fast mover fragments"
+    # frame 0->1 has zero overlap AND no learned velocity yet — the
+    # centroid fallback makes the first link (9 px ≤ 2·√36), which
+    # bootstraps the velocity; motion prediction then carries every
+    # subsequent frame
+    mot = associate_sequence(
+        frames, TrackerConfig(min_pixels=4, motion=True, iou_threshold=0.2,
+                              centroid_fallback_frac=2.0))
+    ids_mot = {int(mot[t][13, 2 + 9 * t + 3]) for t in range(6)}
+    assert len(ids_mot) == 1 and 0 not in ids_mot
+
+
+def test_color_gate_vetoes_cross_color_link():
+    """Two same-shape objects swap places; with the appearance gate the ids
+    follow the COLORS, not the positions."""
+    imgs, frames = [], []
+    for t in range(4):
+        f = np.zeros((32, 48), np.int32)
+        img = np.zeros((32, 48, 3), np.float32)
+        xa, xb = (4, 30) if t < 2 else (30, 4)   # swap at t=2
+        _square(f, xa, 8, 8, 1)
+        _square(f, xb, 8, 8, 2)
+        img[8:16, xa:xa + 8] = (1.0, 0.1, 0.1)   # red object
+        img[8:16, xb:xb + 8] = (0.1, 0.1, 1.0)   # blue object
+        frames.append(f)
+        imgs.append(img)
+    tracked = associate_sequence(
+        frames, TrackerConfig(min_pixels=4, motion=False, memory_frames=5,
+                              iou_threshold=0.05, color_gate=0.3,
+                              centroid_fallback_frac=4.0),
+        images=imgs)
+    red_ids = {int(tracked[0][12, 8]), int(tracked[3][12, 34])}
+    blue_ids = {int(tracked[0][12, 34]), int(tracked[3][12, 8])}
+    assert len(red_ids) == 1 and len(blue_ids) == 1
+    assert red_ids != blue_ids
+
+
+def test_budget_fallback_keeps_pixels_labeled():
+    """When the id budget is exhausted, new instances merge into the best
+    live track instead of silently becoming background (measured 21% fg
+    dropout on the hard scene before the fallback)."""
+    frames = []
+    f0 = np.zeros((32, 64), np.int32)
+    _square(f0, 2, 2, 6, 1)
+    _square(f0, 20, 2, 6, 2)
+    frames.append(f0)
+    f1 = np.zeros((32, 64), np.int32)
+    _square(f1, 2, 2, 6, 1)      # matches track 1
+    _square(f1, 40, 20, 6, 2)    # brand-new region, but budget is full
+    frames.append(f1)
+    tracked = associate_sequence(frames, TrackerConfig(min_pixels=4,
+                                                       max_ids=2))
+    new_region = tracked[1][20:26, 40:46]
+    assert (new_region > 0).all(), "fallback labels instead of dropping"
+    assert int(new_region[0, 0]) in (1, 2)
