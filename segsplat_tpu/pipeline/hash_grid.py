@@ -73,6 +73,12 @@ class AdaptiveHashGrid:
     hash_size: int = 2 ** 20
     max_points_per_cell: int = 64
     max_depth: int = 5
+    filter_below_average: bool = False
+    #   the reference's build unconditionally drops voxels holding fewer
+    #   than the average point count (utils/hash_grid.py:331-337), which
+    #   makes its kNN silently unable to see those points; here it is
+    #   opt-in — enabling it marks the filtered points' cells as pruned
+    #   (excluded from query_knn and build_structured_grid density).
 
     points: Optional[np.ndarray] = None
     cell_sizes: Optional[np.ndarray] = None
@@ -135,12 +141,23 @@ class AdaptiveHashGrid:
         self.cell_coords, self.cell_levels = coords, levels
         self._buckets = {}
         key = self._key(coords, levels)
+        if self.filter_below_average:
+            # reference parity (utils/hash_grid.py:331-337): prune cells
+            # holding fewer than the average per-cell point count
+            _, inv, counts = np.unique(key, return_inverse=True,
+                                       return_counts=True)
+            keep = counts[inv] >= counts.mean()
+            self.pruned = ~keep
+        else:
+            self.pruned = np.zeros(len(points), bool)
         order = np.argsort(key, kind="stable")
+        order = order[~self.pruned[order]]
         sk = key[order]
-        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
-        ends = np.r_[starts[1:], len(sk)]
-        for s, e in zip(starts, ends):
-            self._buckets[sk[s]] = order[s:e]
+        if len(sk):
+            starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+            ends = np.r_[starts[1:], len(sk)]
+            for s, e in zip(starts, ends):
+                self._buckets[sk[s]] = order[s:e]
         return self
 
     def _key(self, coords: np.ndarray, levels: np.ndarray) -> np.ndarray:

@@ -87,6 +87,26 @@ def test_adaptive_build_no_nested_cells_and_exact_knn(rng):
     np.testing.assert_allclose(d[:, 0], td, rtol=1e-9)
 
 
+def test_below_average_voxel_filter(rng):
+    """Reference parity option (utils/hash_grid.py:331-337): prune voxels
+    holding fewer than the average point count; pruned points leave the
+    query index (default OFF — it makes kNN approximate by design)."""
+    from segsplat_tpu.pipeline.hash_grid import AdaptiveHashGrid
+
+    dense = rng.random((400, 3)) * 0.4          # many points per cell
+    stray = np.array([[3.0, 3.0, 3.0]])         # its own 1-point cell
+    pts = np.concatenate([dense, stray])
+    g = AdaptiveHashGrid(max_cell_size=0.5, max_points_per_cell=1024,
+                         filter_below_average=True).build(pts)
+    assert g.pruned[-1] and not g.pruned[:400].all()
+    d, idx = g.query_knn(stray, k=1)
+    assert idx[0, 0] != 400, "pruned point is unsearchable (reference parity)"
+    g2 = AdaptiveHashGrid(max_cell_size=0.5, max_points_per_cell=1024).build(pts)
+    assert not g2.pruned.any()
+    _, idx2 = g2.query_knn(stray, k=1)
+    assert idx2[0, 0] == 400
+
+
 def test_minkowski_facade(rng):
     from segsplat_tpu.pipeline.hash_grid import MinkowskiVoxelGrid
     pts = rng.random((200, 3)) * 2
