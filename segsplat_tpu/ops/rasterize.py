@@ -368,6 +368,23 @@ def _bin_gaussian_ranks(proj: Projected, width: int, height: int,
     return order, rank_sorted, offsets, (tx_n, ty_n)
 
 
+def tile_depth_counts(means3d: jax.Array, scales: jax.Array, quats: jax.Array,
+                      viewmat: jax.Array, fx, fy, cx, cy,
+                      width: int, height: int,
+                      max_tiles_per_axis: int = 8) -> jax.Array:
+    """Per-tile pair depth from the binning stage only (projection + sort,
+    no blend) — the measured statistic behind auto-sizing ``max_per_tile``
+    (pipeline/train._resolve_auto_max_per_tile). The reference rasterizer
+    blends unbounded per-tile lists (gaussian_renderer/__init__.py:85-120);
+    our fixed-K blend needs K chosen from data, not guessed. Returns int32
+    ``[num_tiles]`` pair counts."""
+    proj = project_gaussians(means3d, scales, quats, viewmat, fx, fy, cx, cy,
+                             width, height)
+    _, _, offsets, _ = _bin_gaussian_ranks(proj, width, height,
+                                           max_tiles_per_axis)
+    return jnp.diff(offsets)
+
+
 def _blend_tiles_pallas(proj: Projected, colors, opacities, bg,
                         width: int, height: int, max_tiles_per_axis: int,
                         max_per_tile: int, pair_cap: Optional[int] = None,

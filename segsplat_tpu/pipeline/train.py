@@ -60,7 +60,8 @@ class TrainRunConfig:
     log_every: int = 10
     seed: int = 0
     raster_max_tiles_per_axis: int = 8
-    raster_max_per_tile: int = 256
+    raster_max_per_tile: int = 256  # 0 → auto-size from measured per-tile
+    #                                 pair depth (see _resolve_auto_max_per_tile)
     raster_tile_chunk: int = 64
     raster_backend: str = "auto"   # auto → pallas custom-VJP kernel on TPU,
     #                                differentiable XLA blend elsewhere
@@ -70,6 +71,51 @@ class TrainRunConfig:
     mesh_tensor: int = 1           # tensor-axis size for the codebook sharding
     mesh_view: int = 0             # view-axis size (0 = auto: largest device
     #                                count dividing view_batch)
+
+
+def _resolve_auto_max_per_tile(scene, table, run, n_probe: int = 3,
+                               coverage: float = 0.995,
+                               densify_margin: float = 2.0,
+                               lo: int = 256, hi: int = 4096) -> int:
+    """Auto-size the per-tile blend K from MEASURED binning statistics
+    (VERDICT r4 #2; the reference blends unbounded per-tile lists,
+    gaussian_renderer/__init__.py:85-120, so it has no such knob).
+
+    Probes ``n_probe`` evenly-spaced training views of the INITIAL table
+    with ops/rasterize.tile_depth_counts and takes the smallest K whose
+    truncation keeps ``coverage`` of all pairs, then multiplies by
+    ``densify_margin`` (densification deepens dense tiles over training —
+    the hard scene's overflow only appears after the densify phase),
+    rounds up to the 128-lane Pallas quantum and clips to [lo, hi]. The
+    per-iteration overflow warning still fires if training outgrows the
+    probe, so the cap is measured at start AND observed throughout."""
+    from segsplat_tpu.io.dataset import resolution_scale_for
+    from segsplat_tpu.ops.rasterize import tile_depth_counts
+
+    cams = scene.get_train_cameras()
+    if not cams:
+        return lo
+    scale = resolution_scale_for(cams[0].width, cams[0].height,
+                                 run.resolution)
+    idx = np.unique(np.linspace(0, len(cams) - 1,
+                                min(n_probe, len(cams))).astype(int))
+    k_needed = 1
+    for i in idx:
+        dc = to_device_camera(cams[i], scale)
+        K = dc.intrinsics()
+        counts = np.asarray(tile_depth_counts(
+            table.xyz, table.get_scaling(), table.get_rotation(),
+            dc.world_view_transform(), K[0, 0], K[1, 1], K[0, 2], K[1, 2],
+            dc.width, dc.height, run.raster_max_tiles_per_axis))
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        ks = np.unique(counts)
+        kept = np.minimum(counts[None, :], ks[:, None]).sum(axis=1)
+        k_view = int(ks[np.searchsorted(kept, coverage * total)])
+        k_needed = max(k_needed, k_view)
+    cap = int(np.ceil(k_needed * densify_margin / 128.0)) * 128
+    return int(min(max(cap, lo), hi))
 
 
 def train(source_path: str, model_path: str,
@@ -93,6 +139,11 @@ def train(source_path: str, model_path: str,
     scene = Scene(source_path, model_path, images=images, object_dir=object_dir,
                   eval_split=eval_split, capacity=capacity, seed=run.seed)
     table = scene.gaussians
+    if run.raster_max_per_tile <= 0:
+        cap = _resolve_auto_max_per_tile(scene, table, run)
+        print(f"[INFO] auto max_per_tile={cap} (probed per-tile pair depth "
+              f"x densify margin; overflow warnings still surface)")
+        run = dataclasses.replace(run, raster_max_per_tile=cap)
     backend = run.raster_backend
     if backend == "auto":
         import jax as _jax

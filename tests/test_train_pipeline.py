@@ -86,3 +86,20 @@ def test_train_smoke_with_full_schedule(blender_scene, tmp_path):
     state2 = train(blender_scene, str(tmp_path / "model2"), opt=opt, run=run2,
                    capacity=192, start_checkpoint=ckpt)
     assert int(state2.step) == 14
+
+
+def test_auto_max_per_tile_probe(blender_scene, tmp_path):
+    """raster_max_per_tile=0 auto-sizes the blend K from measured per-tile
+    pair depth (VERDICT r4 #2): multiple of the 128-lane Pallas quantum,
+    inside [256, 4096], deterministic for a fixed scene."""
+    from segsplat_tpu.pipeline.train import (TrainRunConfig,
+                                             _resolve_auto_max_per_tile)
+    from segsplat_tpu.scene import Scene
+
+    scene = Scene(blender_scene, str(tmp_path / "m"), capacity=192, seed=0)
+    run = TrainRunConfig(num_classes=16, raster_max_tiles_per_axis=4,
+                         raster_max_per_tile=0)
+    cap = _resolve_auto_max_per_tile(scene, scene.gaussians, run)
+    cap2 = _resolve_auto_max_per_tile(scene, scene.gaussians, run)
+    assert cap == cap2
+    assert cap % 128 == 0 and 256 <= cap <= 4096

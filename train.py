@@ -42,6 +42,10 @@ def main(argv=None):
     parser.add_argument("--pair_cap", type=int, default=0,
                         help="cap sorted raster pairs (speed knob; num_pairs "
                              "is logged and overflow warns)")
+    parser.add_argument("--max_per_tile", type=int, default=256,
+                        help="per-tile blend K (0 = auto-size from measured "
+                             "per-tile pair depth; the reference blends "
+                             "unbounded per-tile lists)")
     parser.add_argument("--view_batch", type=int, default=1,
                         help="views per iteration; >1 shards the batch over "
                              "all devices (SPMD data parallelism)")
@@ -92,6 +96,7 @@ def main(argv=None):
         resolution=dataset.resolution,
         num_classes=args.num_classes,
         raster_pair_cap=args.pair_cap,
+        raster_max_per_tile=args.max_per_tile,
         view_batch=args.view_batch,
         mesh_tensor=args.mesh_tensor,
     )
