@@ -427,7 +427,7 @@ def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
              layout: str = "fixed", textured: bool = False,
              slic_segments: int = 64, tracker_iou: float = 0.4,
              tracker_color_gate: float = 0.0, tracker_motion: bool = True,
-             tracker_centroid_frac: float = 0.0):
+             tracker_centroid_frac: float = 0.0, save_at: tuple = ()):
     """A/B at 36 frames / 128² / 2000 iters (CPU, seed 0): consolidation
     merges 46→37 tracks and lifts strict 1-1 identity mIoU 0.27→0.30, but
     its occasional wrong merges cost the reference's own grouping protocol
@@ -491,8 +491,13 @@ def run_loop(root: str, frames: int, H: int, W: int, iterations: int,
         densify_until_iter=max(iterations // 2, 201),
         densification_interval=100, opacity_reset_interval=10 ** 9,
         num_classes=256)
+    # save_at: mid-train point-cloud snapshots (point_cloud/iteration_N/ +
+    # classifier.npz) so a run killed by a wall-clock budget is still
+    # harvestable via scripts/eval_hard_scene_checkpoint.py — multi-hour
+    # hard-scene runs on the single CPU core die to timeouts, not bugs
     run = TrainRunConfig(
-        iterations=iterations, test_iterations=(), save_iterations=(),
+        iterations=iterations, test_iterations=(),
+        save_iterations=tuple(save_at),
         checkpoint_iterations=(), log_every=max(iterations // 4, 1),
         num_classes=256, raster_max_tiles_per_axis=6,
         raster_max_per_tile=max_per_tile, raster_tile_chunk=16)
@@ -609,8 +614,13 @@ def main(argv=None):
                         "scene)")
     p.add_argument("--no_tracker_motion", action="store_true")
     p.add_argument("--tracker_centroid_frac", type=float, default=0.0)
+    p.add_argument("--save_at", default="",
+                   help="comma-separated iterations for mid-train point-cloud "
+                        "snapshots, harvestable by "
+                        "scripts/eval_hard_scene_checkpoint.py")
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
+    save_at = tuple(int(x) for x in args.save_at.split(",") if x.strip())
     run_loop(args.out, args.frames, args.size, args.size, args.iterations,
              capacity=args.capacity, consolidate=args.consolidate,
              label_source=args.label_source, n_objects=args.n_objects,
@@ -619,7 +629,8 @@ def main(argv=None):
              max_per_tile=args.max_per_tile, tracker_iou=args.tracker_iou,
              tracker_color_gate=args.tracker_color_gate,
              tracker_motion=not args.no_tracker_motion,
-             tracker_centroid_frac=args.tracker_centroid_frac)
+             tracker_centroid_frac=args.tracker_centroid_frac,
+             save_at=save_at)
 
 
 if __name__ == "__main__":
